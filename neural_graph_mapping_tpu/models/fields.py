@@ -1,0 +1,336 @@
+"""Neural field models: encoding + MLP, and posed multi-field sets.
+
+TPU-native rebuild of the reference ``models.py``. Fields are *functional*
+modules: parameters live in flat dict pytrees, so a set of N fields is simply
+the same pytree with a leading field axis (what the reference assembles
+manually with ``einops.repeat`` over a prototype state_dict,
+models.py:245-264). Training evaluates the active subset under ``jax.vmap``
+over that axis (the reference's ``torch.vmap(functional_call(...))`` path,
+models.py:342-345); inference (render / meshing) routes points to their
+k-nearest fields with a static MoE-style dispatch
+(:mod:`neural_graph_mapping_tpu.ops.dispatch`) instead of the reference's
+per-field Python loop (models.py:392-396).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neural_graph_mapping_tpu.config import str_to_object
+from neural_graph_mapping_tpu.ops import dispatch
+from neural_graph_mapping_tpu.utils import transforms
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _linear_init(key: jax.Array, dim_in: int, dim_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """torch.nn.Linear default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / jnp.sqrt(jnp.asarray(float(dim_in)))
+    kw, kb = jax.random.split(key)
+    w = jax.random.uniform(kw, (dim_in, dim_out), minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (dim_out,), minval=-bound, maxval=bound)
+    return w, b
+
+
+class NeuralField:
+    """Positional encoding followed by a small MLP (reference models.py:66-182).
+
+    Skip modes: "no", "add", "concat", "rezero" — semantics identical to the
+    reference forward (models.py:143-182). Parameters are a flat dict:
+    ``enc.*`` (encoding params), ``w{i}``/``b{i}`` per linear, plus optional
+    ``rezero`` and ``neus_sd``.
+    """
+
+    def __init__(
+        self,
+        encoding_type: str,
+        encoding_kwargs: dict,
+        num_layers: int,
+        dim_out: int,
+        dim_mlp_out: Optional[int] = None,
+        skip_mode: str = "no",
+        initial_geometry_bias: float = 0.0,
+        neus_initial_sd: Optional[float] = None,
+    ) -> None:
+        if skip_mode not in ("no", "add", "concat", "rezero"):
+            raise ValueError(f"Skip mode {skip_mode} is not available.")
+        enc_cls = str_to_object(encoding_type) if isinstance(encoding_type, str) else encoding_type
+        self.encoding = enc_cls(**encoding_kwargs)
+        self.dim_encoding = self.encoding.get_out_dim()
+        self.num_layers = int(num_layers)
+        self.dim_out = int(dim_out)
+        self.dim_mlp_out = self.dim_encoding if dim_mlp_out is None else int(dim_mlp_out)
+        self.skip_mode = skip_mode
+        self.initial_geometry_bias = float(initial_geometry_bias)
+        self.neus_initial_sd = neus_initial_sd
+
+        if skip_mode in ("no", "add", "rezero"):
+            self.dim_mlp_in = self.dim_mlp_out
+        else:  # concat
+            self.dim_mlp_in = self.dim_mlp_out + self.dim_encoding
+
+        self.dims_in = [self.dim_encoding] + [self.dim_mlp_in] * self.num_layers
+        self.dims_out = [self.dim_mlp_out] * self.num_layers + [self.dim_out]
+
+    def init(self, key: jax.Array) -> Params:
+        keys = jax.random.split(key, len(self.dims_in) + 1)
+        params: Params = {}
+        for name, value in self.encoding.init(keys[0]).items():
+            params[f"enc.{name}"] = value
+        for i, (din, dout) in enumerate(zip(self.dims_in, self.dims_out)):
+            w, b = _linear_init(keys[i + 1], din, dout)
+            params[f"w{i}"] = w
+            params[f"b{i}"] = b
+        # geometry bias on the last output channel (models.py:130-136)
+        last = len(self.dims_in) - 1
+        params[f"b{last}"] = params[f"b{last}"].at[-1].add(self.initial_geometry_bias)
+        if self.skip_mode == "rezero":
+            params["rezero"] = jnp.zeros((self.num_layers,))
+        if self.neus_initial_sd is not None:
+            params["neus_sd"] = jnp.asarray(float(self.neus_initial_sd))
+        return params
+
+    def numel(self) -> int:
+        """Parameter count of one field (reference models.py:138-141)."""
+        import numpy as np
+
+        params = self.init(jax.random.PRNGKey(0))
+        return int(sum(np.prod(p.shape) for p in params.values()))
+
+    def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        """Evaluate the field at local-frame points (..., pos_dim) -> (..., dim_out)."""
+        enc_params = {
+            k.split(".", 1)[1]: v for k, v in params.items() if k.startswith("enc.")
+        }
+        outs_encoding = outs = self.encoding.apply(enc_params, points)
+        num_linears = len(self.dims_in)
+        for i in range(num_linears):
+            prev_outs = outs
+            outs = outs @ params[f"w{i}"] + params[f"b{i}"]
+            if i == self.num_layers:
+                break
+            outs = jnp.maximum(outs, 0.0)
+            if self.skip_mode == "concat":
+                outs = jnp.concatenate([outs, outs_encoding], axis=-1)
+            elif self.skip_mode == "add":
+                outs = jnp.concatenate(
+                    [
+                        outs[..., : self.dim_encoding] + outs_encoding,
+                        outs[..., self.dim_encoding :],
+                    ],
+                    axis=-1,
+                )
+            elif self.skip_mode == "rezero":
+                rz = params["rezero"][i]
+                if i == 0:
+                    outs = jnp.concatenate(
+                        [
+                            rz * outs[..., : self.dim_encoding] + prev_outs,
+                            rz * outs[..., self.dim_encoding :],
+                        ],
+                        axis=-1,
+                    )
+                else:
+                    outs = rz * outs + prev_outs
+        return outs
+
+
+class NeuralFieldSet:
+    """Set of posed neural fields (reference models.py:185-405).
+
+    Parameters for N fields are one flat-dict pytree whose leaves carry a
+    leading field axis. Training path: :meth:`apply_vmap` over gathered field
+    slices. Inference path: :meth:`apply_knn` with top-k routing + static
+    expert dispatch and softmax distance blending.
+    """
+
+    def __init__(
+        self,
+        dim_points: int,
+        field_type: str,
+        field_kwargs: dict,
+        num_knn: int,
+        distance_factor: float,
+        outside_value: float,
+        field_radius: Optional[float] = None,
+        scale_mode: str = "no",
+    ) -> None:
+        if scale_mode not in ("no", "unit_ball", "unit_cube"):
+            raise NotImplementedError(f"{scale_mode=} is not available.")
+        if scale_mode != "no" and field_radius is None:
+            raise ValueError(f"{scale_mode=} requires field_radius to be specified.")
+        if dim_points not in (2, 3):
+            raise NotImplementedError("Only 2D and 3D spaces are supported.")
+        self.dim_points = int(dim_points)
+        field_cls = str_to_object(field_type) if isinstance(field_type, str) else field_type
+        self.prototype = field_cls(**field_kwargs)
+        self.num_knn = int(num_knn)
+        self.distance_factor = float(distance_factor)
+        self.outside_value = float(outside_value)
+        self.field_radius = field_radius
+        self.scale_mode = scale_mode
+
+        if dim_points == 2:
+            self._orientation_apply = transforms.complex_apply
+            self._orientation_invert = transforms.complex_invert
+        else:
+            self._orientation_apply = transforms.quaternion_apply
+            self._orientation_invert = transforms.quaternion_invert
+
+    # -- parameter management -------------------------------------------------
+
+    def init_fields(self, key: jax.Array, num_fields: int) -> Params:
+        """Initialize a stacked pytree for ``num_fields`` fields.
+
+        Unlike the reference (which replicates ONE prototype init across all
+        fields, models.py:254-257), each field gets an independent draw; this
+        only differs by seed diversity and matches the reference's behavior in
+        expectation.
+        """
+        keys = jax.random.split(key, num_fields)
+        return jax.vmap(self.prototype.init)(keys)
+
+    @staticmethod
+    def num_fields(stacked_params: Params) -> int:
+        return next(iter(stacked_params.values())).shape[0]
+
+    def numel_per_field(self) -> int:
+        return self.prototype.numel()
+
+    def gather_fields(self, stacked_params: Params, field_ids: jnp.ndarray) -> Params:
+        """Slice out a subset of fields (the reference's set_vmap_fields,
+        models.py:266-276) — a pure gather inside jit."""
+        return jax.tree_util.tree_map(lambda p: p[field_ids], stacked_params)
+
+    def scatter_fields(
+        self, stacked_params: Params, field_ids: jnp.ndarray, sub_params: Params
+    ) -> Params:
+        """Write updated field slices back (run_mapping.py:1201-1204)."""
+        return jax.tree_util.tree_map(
+            lambda full, sub: full.at[field_ids].set(sub), stacked_params, sub_params
+        )
+
+    # -- coordinate handling ---------------------------------------------------
+
+    def _scale_local_points(self, local_points: jnp.ndarray) -> jnp.ndarray:
+        if self.scale_mode == "unit_cube":
+            return local_points / (2.0 * self.field_radius) + 0.5
+        if self.scale_mode == "unit_ball":
+            return local_points / self.field_radius
+        return local_points
+
+    def world_to_local(
+        self,
+        query_points: jnp.ndarray,
+        field_positions: jnp.ndarray,
+        field_orientations: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """World -> field-local (+ scale) transform; broadcasts over points."""
+        local = query_points - field_positions
+        local = self._orientation_apply(self._orientation_invert(field_orientations), local)
+        return self._scale_local_points(local)
+
+    # -- evaluation paths --------------------------------------------------------
+
+    def apply_vmap(
+        self,
+        vmap_params: Params,
+        query_points: jnp.ndarray,
+        field_positions: Optional[jnp.ndarray] = None,
+        field_orientations: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Field-parallel evaluation (reference models.py:329-345).
+
+        Args:
+            vmap_params: stacked pytree with leading axis F (gathered subset).
+            query_points: (F, P, dim_points) world points (or local if no pose).
+            field_positions / field_orientations: (F, dim_points) / (F, 2 or 4).
+
+        Returns:
+            (F, P, dim_out).
+        """
+        if field_positions is not None:
+            local = self.world_to_local(
+                query_points,
+                field_positions[:, None, :],
+                field_orientations[:, None, :],
+            )
+        else:
+            local = self._scale_local_points(query_points)
+        return jax.vmap(self.prototype.apply)(vmap_params, local)
+
+    def apply_knn(
+        self,
+        stacked_params: Params,
+        query_points: jnp.ndarray,
+        field_positions: jnp.ndarray,
+        field_orientations: jnp.ndarray,
+        field_valid: jnp.ndarray,
+        capacity: int,
+        field_radius: Optional[float] = None,
+        num_knn: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """KNN-blended evaluation for render/meshing (reference models.py:347-405).
+
+        Args:
+            stacked_params: all-field pytree, leading axis N (padded slots ok).
+            query_points: (P, dim_points) world points.
+            field_positions / field_orientations: (N, ...) poses.
+            field_valid: (N,) False for padded/unallocated slots.
+            capacity: static per-field dispatch capacity.
+            field_radius: override radius (meshing recolor uses radius + 0.1,
+                run_mapping.py:2328).
+
+        Returns:
+            (P, dim_out) blended outputs; points whose nearest field is beyond
+            the radius get ``outside_value``.
+        """
+        radius = self.field_radius if field_radius is None else field_radius
+        k = self.num_knn if num_knn is None else num_knn
+        n = self.num_fields(stacked_params)
+        p = query_points.shape[0]
+
+        knn_dists, knn_idx = dispatch.topk_fields(
+            query_points, field_positions, field_valid, k
+        )  # (P, k)
+
+        # radius gate on the nearest field only (models.py:369)
+        inside = knn_dists[:, 0] < radius
+
+        pair_points = jnp.repeat(query_points, k, axis=0)  # (P*k, 3)
+        pair_ids = knn_idx.reshape(-1)
+        pair_valid = jnp.repeat(inside, k) & jnp.isfinite(knn_dists.reshape(-1))
+
+        # fold poses into the dispatched pytree so each expert sees its own pose
+        def apply_fn(packed, pts):
+            params = packed["params"]
+            local = self.world_to_local(pts, packed["pos"], packed["quat"])
+            return self.prototype.apply(params, local)
+
+        packed = {
+            "params": stacked_params,
+            "pos": field_positions,
+            "quat": field_orientations,
+        }
+        dim_out = self.prototype.dim_out
+        pair_outs, kept = dispatch.expert_eval(
+            apply_fn, packed, pair_points, pair_ids, pair_valid, n, capacity, dim_out
+        )
+        pair_outs = pair_outs.reshape(p, k, dim_out)
+        kept = kept.reshape(p, k)
+
+        # softmax distance blend over the k neighbors (models.py:384, 399),
+        # renormalized over pairs that survived dispatch capacity
+        logits = -self.distance_factor * knn_dists
+        logits = jnp.where(kept, logits, -jnp.inf)
+        safe_logits = jnp.where(
+            jnp.any(kept, axis=-1, keepdims=True), logits, 0.0
+        )
+        weights = jax.nn.softmax(safe_logits, axis=-1)
+        blended = jnp.sum(weights[..., None] * pair_outs, axis=-2)
+
+        use_blend = inside & jnp.any(kept, axis=-1)
+        return jnp.where(use_blend[:, None], blended, self.outside_value)

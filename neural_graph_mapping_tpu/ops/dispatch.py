@@ -1,0 +1,146 @@
+"""Mixture-of-experts-style point->field dispatch for inference paths.
+
+The reference's non-vmap (render / meshing) path loops over unique fields in
+Python and evaluates each field on a boolean-masked subset
+(models.py:347-405) — its stated inference bottleneck. The TPU-native
+formulation treats fields as *experts* and query points as *tokens*: route
+each (point, k-th neighbor) pair to its field, sort pairs by field id, pack
+them into a static (num_fields, capacity) buffer, evaluate all fields with one
+``jax.vmap`` over the stacked parameter pytree (dense batched matmuls on the
+MXU), and un-permute. One XLA program, no host loop, no dynamic shapes.
+
+Capacity overflow (more pairs routed to a field than ``capacity``) drops the
+excess pairs; callers renormalize blend weights over surviving pairs. Render
+drivers size the capacity generously (and can re-bucket between chunks, which
+only recompiles when the padded capacity changes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def topk_fields(
+    points: jnp.ndarray,
+    centers: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """K-nearest valid field centers per query point.
+
+    Brute force over all centers — fields number in the low thousands, so the
+    (P, N) distance matrix is small and MXU-friendly (replaces
+    ``pytorch3d.ops.knn_points``, models.py:361-366).
+
+    Args:
+        points: (P, 3) query points.
+        centers: (N, 3) field centers (padded slots allowed).
+        valid: (N,) False for padded slots.
+        k: number of neighbors.
+
+    Returns:
+        dists: (P, k) euclidean distances (inf for invalid).
+        idx: (P, k) field indices.
+    """
+    # squared distances via the expanded form so the cross term is one matmul
+    p_sq = jnp.sum(points**2, axis=-1, keepdims=True)  # (P, 1)
+    c_sq = jnp.sum(centers**2, axis=-1)  # (N,)
+    d_sq = p_sq + c_sq[None, :] - 2.0 * points @ centers.T
+    d_sq = jnp.where(valid[None, :], d_sq, jnp.inf)
+    # fewer fields than neighbors requested: pad with inf/last (the reference
+    # instead shrinks K, models.py:355-358; masked pairs are dropped upstream)
+    if k > d_sq.shape[-1]:
+        pad = k - d_sq.shape[-1]
+        d_sq = jnp.concatenate(
+            [d_sq, jnp.full(d_sq.shape[:-1] + (pad,), jnp.inf)], axis=-1
+        )
+    neg_d, idx = jax.lax.top_k(-d_sq, k)
+    idx = jnp.minimum(idx, centers.shape[0] - 1)
+    return jnp.sqrt(jnp.maximum(-neg_d, 0.0)), idx
+
+
+def dispatch_indices(
+    expert_ids: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    num_experts: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute buffer slots for a sorted capacity-based dispatch.
+
+    Args:
+        expert_ids: (M,) int32 expert per pair.
+        pair_valid: (M,) bool; invalid pairs are never dispatched.
+        num_experts: static expert count N.
+        capacity: static per-expert capacity C.
+
+    Returns:
+        slot: (M,) int32 flat index into an (N*C,) buffer for each pair, or
+            N*C (out-of-range, to be dropped) for invalid/overflow pairs.
+        kept: (M,) bool — True where the pair made it into the buffer.
+        counts: (N,) int32 number of pairs routed to each expert (pre-capacity).
+    """
+    ids = jnp.where(pair_valid, expert_ids, num_experts).astype(jnp.int32)
+    order = jnp.argsort(ids, stable=True)
+    sorted_ids = ids[order]
+    # rank of each sorted pair within its expert segment
+    seg_start = jnp.searchsorted(sorted_ids, jnp.arange(num_experts + 1, dtype=sorted_ids.dtype))
+    rank_sorted = jnp.arange(ids.shape[0], dtype=jnp.int32) - seg_start[
+        jnp.clip(sorted_ids, 0, num_experts)
+    ].astype(jnp.int32)
+    kept_sorted = (rank_sorted < capacity) & (sorted_ids < num_experts)
+    slot_sorted = jnp.where(
+        kept_sorted, sorted_ids * capacity + rank_sorted, num_experts * capacity
+    )
+    # scatter back to original pair order
+    inv = jnp.argsort(order)
+    slot = slot_sorted[inv]
+    kept = kept_sorted[inv]
+    counts = seg_start[1 : num_experts + 1] - seg_start[:num_experts]
+    return slot, kept, counts.astype(jnp.int32)
+
+
+def expert_eval(
+    apply_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    stacked_params,
+    points: jnp.ndarray,
+    expert_ids: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    num_experts: int,
+    capacity: int,
+    out_dim: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate per-pair expert outputs with a static dispatch buffer.
+
+    Args:
+        apply_fn: ``(field_params, points (C, 3)) -> (C, out_dim)``; vmapped
+            over the leading expert axis of ``stacked_params``.
+        stacked_params: pytree with leading axis num_experts.
+        points: (M, 3) query points (already in the frame expected by
+            apply_fn's caller — typically world; apply_fn handles local).
+        expert_ids: (M,) routing.
+        pair_valid: (M,).
+        num_experts / capacity: static dispatch geometry.
+        out_dim: static output feature dim.
+
+    Returns:
+        outs: (M, out_dim), zeros for dropped pairs.
+        kept: (M,) bool.
+    """
+    m = points.shape[0]
+    slot, kept, _ = dispatch_indices(expert_ids, pair_valid, num_experts, capacity)
+
+    buf_pts = jnp.zeros((num_experts * capacity, 3), points.dtype)
+    buf_pts = buf_pts.at[slot].set(points, mode="drop")
+    buf_pts = buf_pts.reshape(num_experts, capacity, 3)
+
+    buf_out = jax.vmap(apply_fn)(stacked_params, buf_pts)  # (N, C, out_dim)
+    buf_out = buf_out.reshape(num_experts * capacity, out_dim)
+
+    # gather back; dropped pairs read slot N*C -> use a padded row of zeros
+    padded = jnp.concatenate([buf_out, jnp.zeros((1, out_dim), buf_out.dtype)], axis=0)
+    outs = padded[jnp.minimum(slot, num_experts * capacity)]
+    outs = jnp.where(kept[:, None], outs, 0.0)
+    return outs.reshape(m, out_dim), kept

@@ -1,0 +1,334 @@
+"""Positional encodings with a common functional interface, in JAX.
+
+TPU-native rebuild of the reference ``positional_encodings.py`` plus the
+external CUDA ``permutohedral_encoding`` package it wraps
+(reference positional_encodings.py:19-66; pinned in /pyproject.toml:20).
+
+Every encoding is a functional module:
+
+- ``init(key) -> params``: learnable parameter pytree (possibly empty dict).
+- ``apply(params, points) -> features``: pure function, jit/vmap-safe.
+- ``get_out_dim() -> int``.
+
+The parameter pytrees get a leading *field* axis when stacked into a
+:class:`~neural_graph_mapping_tpu.models.fields.NeuralFieldSet`, and the whole
+field (encoding + MLP) is evaluated under ``jax.vmap`` — the TPU equivalent of
+the reference's ``torch.vmap(functional_call(...))`` path (models.py:342-345).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+# Large primes for spatial hashing (standard instant-ngp / permutohedral choice).
+_HASH_PRIMES = np.array([1, 2654435761, 805459861, 3674653429], dtype=np.uint32)
+
+
+class PermutohedralEncoding:
+    """Multiresolution permutohedral-lattice hash encoding (pure jnp).
+
+    Functional equivalent of the CUDA ``permutohedral_encoding.PermutoEncoding``
+    as configured by the reference (positional_encodings.py:19-66,
+    config/neural_graph_map.yaml:6-14): ``nr_levels`` geometric scales between
+    ``coarsest_scale`` and ``finest_scale``; at each level the query point is
+    embedded onto the permutohedral lattice A_d (simplex interpolation: only
+    d+1 = 4 taps per level in 3D instead of 2^d = 8 for a cubic lattice), the
+    d+1 simplex corners are hashed into a per-level table of
+    ``2**log2_hashmap_size`` entries, and the gathered features are
+    barycentrically blended.
+
+    Lattice math follows Adams, Baek, Davis, "Fast High-Dimensional Filtering
+    Using the Permutohedral Lattice" (CGF 2010) — elevation to the sum-zero
+    hyperplane, greedy rounding to the nearest remainder-0 point, rank
+    computation, and canonical-simplex corner enumeration — vectorized over
+    points with static d.
+
+    The hash table is a *parameter* (leading level axis), so when fields are
+    stacked the table carries a leading field axis and vmaps cleanly.
+    Per-level random shifts are identical across fields (the reference
+    replicates the prototype's buffers across fields, models.py:245-264), so
+    they are baked in as module constants from a fixed seed.
+    """
+
+    def __init__(
+        self,
+        pos_dim: int,
+        log2_hashmap_size: int,
+        nr_levels: int,
+        nr_feat_per_level: int,
+        coarsest_scale: float,
+        finest_scale: float,
+        appply_random_shift_per_level: bool = True,  # (sic) reference arg name
+        concat_points: bool = False,
+        concat_points_scaling: float = 1.0,
+        init_scale: float = 1e-5,
+        shift_seed: int = 0,
+    ) -> None:
+        self.pos_dim = int(pos_dim)
+        self.capacity = int(2**log2_hashmap_size)
+        self.nr_levels = int(nr_levels)
+        self.nr_feat_per_level = int(nr_feat_per_level)
+        self.init_scale = float(init_scale)
+        self.concat_points = bool(concat_points)
+        self.concat_points_scaling = float(concat_points_scaling)
+        # geomspace coarsest -> finest (positional_encodings.py:50)
+        self.scales = np.geomspace(coarsest_scale, finest_scale, num=nr_levels).astype(
+            np.float32
+        )
+        d = self.pos_dim
+        if appply_random_shift_per_level:
+            rng = np.random.RandomState(shift_seed)
+            self._shifts = jnp.asarray(
+                rng.uniform(0.0, 10.0, size=(nr_levels, d)).astype(np.float32)
+            )
+        else:
+            self._shifts = jnp.zeros((nr_levels, d), dtype=jnp.float32)
+        # Elevation scale: normalize so that lattice spacing ~ `scale` in
+        # euclidean space. sigma_i = 1/sqrt((i+1)(i+2)) is the standard
+        # column normalization of the elevation basis E.
+        self._elev_scale = jnp.asarray(
+            [1.0 / math.sqrt((i + 1) * (i + 2)) for i in range(d)], dtype=jnp.float32
+        ) * (d + 1)
+
+    def get_out_dim(self) -> int:
+        out = self.nr_levels * self.nr_feat_per_level
+        if self.concat_points:
+            out += self.pos_dim
+        return out
+
+    def init(self, key: jax.Array) -> Params:
+        table = self.init_scale * jax.random.uniform(
+            key,
+            (self.nr_levels, self.capacity, self.nr_feat_per_level),
+            minval=-1.0,
+            maxval=1.0,
+        )
+        return {"table": table}
+
+    # -- lattice helpers -----------------------------------------------------
+
+    def _lattice_keys_and_weights(self, points: jnp.ndarray):
+        """Simplex corner hash indices + barycentric weights for all levels.
+
+        Args:
+            points: (..., d).
+
+        Returns:
+            idx: (..., L, d+1) int32 hash-table indices.
+            w: (..., L, d+1) float barycentric weights.
+        """
+        d = self.pos_dim
+        scales = jnp.asarray(self.scales)  # (L,)
+        # scaled lattice coordinates per level: (..., L, d)
+        x = points[..., None, :] / scales[:, None] + self._shifts
+        # Elevate onto the sum-zero hyperplane H_d in R^{d+1}.
+        cf = x * self._elev_scale  # (..., L, d)
+        # elevated[i] = sum(cf[i:]) - i * cf[i-1], elevated[0] = sum(cf)
+        rev_csum = jnp.cumsum(cf[..., ::-1], axis=-1)[..., ::-1]  # suffix sums
+        elev_rest = jnp.concatenate(
+            [rev_csum[..., 1:], jnp.zeros_like(cf[..., :1])], axis=-1
+        ) - jnp.arange(1, d + 1, dtype=cf.dtype) * cf
+        elevated = jnp.concatenate([rev_csum[..., :1], elev_rest], axis=-1)  # (...,L,d+1)
+
+        # Greedy rounding to nearest remainder-0 point.
+        down = 1.0 / (d + 1)
+        rem0 = jnp.round(elevated * down) * (d + 1)  # (..., L, d+1)
+        diff = elevated - rem0
+        # rank[i] = number of j with diff[j] > diff[i] (ties by index)
+        gt = (diff[..., None, :] > diff[..., :, None]) | (
+            (diff[..., None, :] == diff[..., :, None])
+            & (jnp.arange(d + 1)[None, :] > jnp.arange(d + 1)[:, None])
+        )
+        rank = jnp.sum(gt, axis=-1).astype(jnp.int32)  # (..., L, d+1), 0 = largest diff
+
+        # Fix points rounded off the hyperplane: sum(rem0)/(d+1) must be 0.
+        s = (jnp.sum(rem0, axis=-1) * down).astype(jnp.int32)  # (..., L)
+        rank = rank + s[..., None]
+        rem0 = jnp.where(rank[..., :] < 0, rem0 + (d + 1), rem0)
+        rank = jnp.where(rank < 0, rank + (d + 1), rank)
+        rem0 = jnp.where(rank > d, rem0 - (d + 1), rem0)
+        rank = jnp.where(rank > d, rank - (d + 1), rank)
+
+        # Barycentric weights (..., L, d+2) via one-hot scatter-add on the rank:
+        # bary[d - rank[i]] += v[i]; bary[d + 1 - rank[i]] -= v[i]
+        v = (elevated - rem0) * down
+        idx_hi = d - rank  # in [0, d]
+        one_hot_hi = jax.nn.one_hot(idx_hi, d + 2, dtype=v.dtype)
+        one_hot_lo = jax.nn.one_hot(idx_hi + 1, d + 2, dtype=v.dtype)
+        bary = jnp.einsum("...i,...ik->...k", v, one_hot_hi) - jnp.einsum(
+            "...i,...ik->...k", v, one_hot_lo
+        )
+        bary = bary.at[..., 0].add(1.0 + bary[..., d + 1])
+        weights = bary[..., : d + 1]  # (..., L, d+1) weights of the d+1 corners
+
+        # Corner coordinates: key_k[i] = rem0[i] + canonical[k][rank[i]] where
+        # canonical[k][r] = k if r < d+1-k else k-(d+1).
+        ks = jnp.arange(d + 1, dtype=jnp.int32)  # corner index (d+1,)
+        canonical = jnp.where(
+            rank[..., None, :] < (d + 1 - ks[:, None]), ks[:, None], ks[:, None] - (d + 1)
+        )  # (..., L, d+1 corners, d+1 coords)
+        keys = rem0[..., None, :].astype(jnp.int32) + canonical
+
+        # Hash first d coordinates (the last is determined by the zero-sum).
+        primes = jnp.asarray(_HASH_PRIMES[:d].astype(np.int64).astype(np.uint32))
+        h = jnp.zeros(keys.shape[:-1], dtype=jnp.uint32)
+        for i in range(d):
+            h = h ^ (keys[..., i].astype(jnp.uint32) * primes[i])
+        idx = (h & jnp.uint32(self.capacity - 1)).astype(jnp.int32)
+        return idx, weights
+
+    def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        """Encode points (..., d) -> (..., nr_levels * nr_feat_per_level [+ d])."""
+        table = params["table"]  # (L, T, F)
+        idx, w = self._lattice_keys_and_weights(points)  # (..., L, d+1)
+        feats = self._gather(table, idx)  # (..., L, d+1, F)
+        out = jnp.sum(feats * w[..., None], axis=-2)  # (..., L, F)
+        out = out.reshape(out.shape[:-2] + (self.nr_levels * self.nr_feat_per_level,))
+        if self.concat_points:
+            out = jnp.concatenate([out, self.concat_points_scaling * points], axis=-1)
+        return out
+
+    def _gather(self, table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+        """Gather features: table (L, T, F), idx (..., L, K) -> (..., L, K, F)."""
+        # vmap the per-level take over the level axis.
+        def per_level(tab_l, idx_l):  # (T, F), (..., K)
+            return jnp.take(tab_l, idx_l, axis=0)  # (..., K, F)
+
+        moved = jnp.moveaxis(idx, -2, 0)  # (L, ..., K)
+        out = jax.vmap(per_level)(table, moved)  # (L, ..., K, F)
+        return jnp.moveaxis(out, 0, -3)  # (..., L, K, F)
+
+
+class TriplaneEncoding:
+    """Learned triplane encoding (reference positional_encodings.py:69-161).
+
+    Three axis-aligned feature planes sampled bilinearly (align_corners=True,
+    border padding) at the projections of each query point, combined by sum,
+    product, or concatenation. Expects inputs in [-1, 1].
+    """
+
+    def __init__(
+        self,
+        resolution: int = 32,
+        num_components: int = 64,
+        init_scale: float = 0.1,
+        mode: str = "sum",
+    ) -> None:
+        if mode not in ("sum", "product", "concat"):
+            raise ValueError(f"{mode=} is not supported.")
+        self.resolution = int(resolution)
+        self.num_components = int(num_components)
+        self.init_scale = float(init_scale)
+        self.mode = mode
+
+    def get_out_dim(self) -> int:
+        if self.mode == "concat":
+            return 3 * self.num_components
+        return self.num_components
+
+    def init(self, key: jax.Array) -> Params:
+        planes = self.init_scale * jax.random.normal(
+            key, (3, self.num_components, self.resolution, self.resolution)
+        )
+        return {"planes": planes}
+
+    @staticmethod
+    def _grid_sample_bilinear(plane: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+        """Bilinear sample: plane (C, R, R), coords (..., 2) in [-1, 1].
+
+        align_corners=True, border padding — matching
+        ``torch.nn.functional.grid_sample`` as used by the reference
+        (positional_encodings.py:146-148). coords[..., 0] indexes the last
+        (width/x) axis, coords[..., 1] the height/y axis.
+        """
+        c, h, w = plane.shape
+        x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+        y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+        x = jnp.clip(x, 0.0, w - 1)
+        y = jnp.clip(y, 0.0, h - 1)
+        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+        tx = x - x0
+        ty = y - y0
+        f00 = plane[:, y0, x0]
+        f01 = plane[:, y0, x0 + 1]
+        f10 = plane[:, y0 + 1, x0]
+        f11 = plane[:, y0 + 1, x0 + 1]
+        top = f00 * (1 - tx) + f01 * tx
+        bot = f10 * (1 - tx) + f11 * tx
+        out = top * (1 - ty) + bot * ty  # (C, ...)
+        return jnp.moveaxis(out, 0, -1)  # (..., C)
+
+    def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        planes = params["planes"]
+        coords = jnp.stack(
+            [points[..., (0, 1)], points[..., (0, 2)], points[..., (1, 2)]], axis=0
+        )  # (3, ..., 2)
+        feats = jax.vmap(self._grid_sample_bilinear)(planes, coords)  # (3, ..., C)
+        if self.mode == "sum":
+            return jnp.sum(feats, axis=0)
+        if self.mode == "product":
+            return jnp.prod(feats, axis=0)
+        return jnp.concatenate([feats[0], feats[1], feats[2]], axis=-1)
+
+
+class PositionalEncodingFourier:
+    """Random Fourier features (reference positional_encodings.py:164-216)."""
+
+    def __init__(
+        self, dim_in: int, dim_out: int, mu: float, sigma: float, raw_coords: bool
+    ) -> None:
+        self.dim_in = int(dim_in)
+        self.dim_out = int(dim_out)
+        self.mu = float(mu)
+        self.sigma = float(sigma)
+        self.raw_coords = bool(raw_coords)
+        self._n_features = self.dim_out - self.dim_in if raw_coords else self.dim_out
+
+    def get_out_dim(self) -> int:
+        return self.dim_out
+
+    def init(self, key: jax.Array) -> Params:
+        w = self.mu + self.sigma * jax.random.normal(
+            key, (self.dim_in, self._n_features)
+        )
+        return {"fourier_w": w}
+
+    def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        feats = jnp.sin(points @ params["fourier_w"])
+        if self.raw_coords:
+            return jnp.concatenate([points, feats], axis=-1)
+        return feats
+
+
+class PositionalEncodingNeRF:
+    """Sin/cos octave encoding (reference positional_encodings.py:219-276)."""
+
+    def __init__(self, dim_in: int, num_octaves: int = 8, start_octave: int = 0) -> None:
+        self.dim_in = int(dim_in)
+        self.num_octaves = int(num_octaves)
+        self.start_octave = int(start_octave)
+
+    def get_out_dim(self) -> int:
+        return self.dim_in * self.num_octaves * 2
+
+    def init(self, key: jax.Array) -> Params:
+        return {}
+
+    def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        octaves = jnp.arange(
+            self.start_octave, self.start_octave + self.num_octaves, dtype=points.dtype
+        )
+        mult = (2.0**octaves) * jnp.pi
+        scaled = points[..., None] * mult  # (..., dim_in, num_octaves)
+        lead = points.shape[:-1]
+        sines = jnp.sin(scaled).reshape(lead + (-1,))
+        cosines = jnp.cos(scaled).reshape(lead + (-1,))
+        return jnp.concatenate([sines, cosines], axis=-1)
