@@ -1,0 +1,764 @@
+"""NeuralGraphMap: the online dense neural mapping engine.
+
+TPU-native rebuild of the reference's ``NeuralGraphMap`` orchestrator
+(run_mapping.py:95-2394). Design per SURVEY.md section 7:
+
+- **Device side** is a handful of jitted programs with static shapes:
+  one fused optimization iteration (field selection -> multi-view target
+  sampling -> ray rendering -> losses -> per-field Adam with gather/scatter),
+  field allocation, observed-field tests, loop-closure re-anchoring, and
+  chunked image rendering. Field capacity grows by power-of-two buckets, so
+  recompiles happen O(log num_fields) times per run.
+- **Host side** is incremental bookkeeping: the pose graph (dict-of-sets),
+  keyframe slot registry, kf->fields index, dataset IO, eval scheduling.
+- Loop closures only re-anchor field poses (one batched rigid transform per
+  frame) — the map is never reintegrated (run_mapping.py:936-952).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import time
+from typing import Dict, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_graph_mapping_tpu import camera as camera_mod
+from neural_graph_mapping_tpu import config as config_mod
+from neural_graph_mapping_tpu.mapping import graph as graph_mod
+from neural_graph_mapping_tpu.mapping import map_state, optimizer, render, sampling
+from neural_graph_mapping_tpu.models.fields import NeuralFieldSet
+from neural_graph_mapping_tpu.ops import losses as losses_mod
+from neural_graph_mapping_tpu.utils import transforms
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Jitted programs (module-level so the engine instance stays out of traces).
+# `fset`, `camera`, configs are static (hashable by identity / NamedTuple).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fset", "camera", "rcfg", "ocfg", "loss_cfg", "num_train_fields"),
+)
+def optimization_iteration(
+    fset: NeuralFieldSet,
+    camera,
+    rcfg: render.RenderConfig,
+    ocfg: optimizer.AdamConfig,
+    loss_cfg: "LossConfig",
+    num_train_fields: int,
+    params,
+    adam: optimizer.AdamState,
+    training_iterations: jnp.ndarray,  # (N_cap,)
+    map_positions: jnp.ndarray,  # (N_cap, 3)
+    map_orientations: jnp.ndarray,  # (N_cap, 4)
+    allocated_mask: jnp.ndarray,  # (N_cap,)
+    observed_mask: jnp.ndarray,  # (N_cap,)
+    cache_rgb: jnp.ndarray,  # (S, H, W, 3)
+    cache_depth: jnp.ndarray,  # (S, H, W)
+    cache_c2w: jnp.ndarray,  # (S, 4, 4)
+    cache_valid: jnp.ndarray,  # (S,)
+    key: jax.Array,
+):
+    """One fused multi-view optimization iteration (run_mapping.py:1124-1221)."""
+    k_sel, k_sample, k_render = jax.random.split(key, 3)
+
+    field_ids, field_valid = sampling.select_target_fields(
+        k_sel, observed_mask, allocated_mask, num_train_fields
+    )
+    target = sampling.sample_target_mv(
+        k_sample,
+        camera,
+        field_ids,
+        field_valid,
+        map_positions,
+        cache_rgb,
+        cache_depth,
+        cache_c2w,
+        cache_valid,
+        fset.field_radius,
+        loss_cfg.num_rays_per_field,
+    )
+
+    sub_positions = map_positions[target.field_ids]
+    sub_orientations = map_orientations[target.field_ids]
+    sub_params = fset.gather_fields(params, target.field_ids)
+
+    def loss_fn(sp):
+        pred = render.render_rays_vmap(
+            fset, sp, sub_positions, sub_orientations, camera, target, k_render, rcfg
+        )
+        return compute_losses(loss_cfg, rcfg, target, pred)
+
+    (combined, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(sub_params)
+
+    new_params, new_adam = optimizer.adam_slice_update(
+        ocfg, params, adam, target.field_ids, target.field_valid, grads, sub_params
+    )
+    new_training_iterations = training_iterations.at[target.field_ids].add(
+        target.field_valid.astype(training_iterations.dtype)
+    )
+    return new_params, new_adam, new_training_iterations, loss_dict
+
+
+class LossConfig:
+    """Static loss hyperparameters (hashable for jit static args)."""
+
+    def __init__(
+        self,
+        termination_weight: float = 0.0,
+        photometric_weight: float = 1.0,
+        photometric_loss: str = "l1",
+        depth_weight: float = 1.0,
+        depth_loss: str = "huber",
+        freespace_weight: float = 40.0,
+        tsdf_weight: float = 50.0,
+        num_rays_per_field: int = 512,
+    ) -> None:
+        self.termination_weight = termination_weight
+        self.photometric_weight = photometric_weight
+        self.photometric_loss = photometric_loss
+        self.depth_weight = depth_weight
+        self.depth_loss = depth_loss
+        self.freespace_weight = freespace_weight
+        self.tsdf_weight = tsdf_weight
+        self.num_rays_per_field = num_rays_per_field
+        self._key = (
+            termination_weight, photometric_weight, photometric_loss, depth_weight,
+            depth_loss, freespace_weight, tsdf_weight, num_rays_per_field,
+        )
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, LossConfig) and self._key == other._key
+
+
+def compute_losses(
+    cfg: LossConfig,
+    rcfg: render.RenderConfig,
+    target: sampling.Target,
+    pred: render.Prediction,
+):
+    """Assemble the training loss (run_mapping.py:1769-1872).
+
+    Masks follow the reference: depth/rgb supervised only where the target
+    depth is usable AND the predicted termination prob exceeds 0.8
+    (run_mapping.py:1787-1788); everything additionally gated by field
+    validity.
+    """
+    depth_mask = target.depth_mask & (pred.term_probs > 0.8)
+    rgb_mask = depth_mask
+
+    loss_dict = {}
+    combined = 0.0
+
+    termination = losses_mod.termination_loss(
+        pred.term_probs, target.term_probs, target.term_mask
+    )
+    loss_dict["termination"] = termination
+    combined = combined + cfg.termination_weight * termination
+
+    photometric = losses_mod.photometric_loss(
+        cfg.photometric_loss,
+        target.rgbds[..., :3],
+        pred.rgbds[..., :3],
+        pred.color_vars,
+        mask=rgb_mask,
+    )
+    loss_dict[f"photometric_{cfg.photometric_loss}"] = photometric
+    combined = combined + cfg.photometric_weight * photometric
+
+    depth = losses_mod.depth_loss(
+        cfg.depth_loss,
+        target.rgbds[..., 3],
+        pred.rgbds[..., 3],
+        pred.depth_vars,
+        mask=depth_mask,
+    )
+    loss_dict[f"depth_{cfg.depth_loss}"] = depth
+    combined = combined + cfg.depth_weight * depth
+
+    if cfg.freespace_weight != 0.0:
+        freespace = losses_mod.freespace_loss(
+            pred.sample_geometries, rcfg.truncation_distance, pred.freespace_mask
+        )
+        loss_dict["freespace"] = freespace
+        combined = combined + cfg.freespace_weight * freespace
+
+    if cfg.tsdf_weight != 0.0:
+        deltas = target.gt_distances[..., None] - pred.sample_distances
+        tsdf = losses_mod.tsdf_loss(
+            pred.sample_geometries, deltas, rcfg.truncation_distance, pred.tsdf_mask
+        )
+        loss_dict["tsdf"] = tsdf
+        combined = combined + cfg.tsdf_weight * tsdf
+
+    loss_dict["combined"] = combined
+    return combined, loss_dict
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "field_radius", "max_new"))
+def allocate_fields_jit(
+    camera,
+    field_radius: float,
+    max_new: int,
+    depth_image: jnp.ndarray,
+    c2w: jnp.ndarray,
+    active_positions: jnp.ndarray,
+    active_mask: jnp.ndarray,
+    key: jax.Array,
+):
+    """Uncovered-cell field allocation (run_mapping.py:267-345), jitted."""
+    points_cam, _, valid = camera.depth_to_points_full(depth_image, "opengl")
+    points_world = transforms.transform_points(points_cam, c2w)
+    points_world = jnp.where(valid[:, None], points_world, 0.0)
+    centers, num_new = map_state.uncovered_cells(
+        key, points_world, valid, active_positions, active_mask, field_radius, max_new
+    )
+    bb_min = jnp.min(jnp.where(valid[:, None], points_world, jnp.inf), axis=0)
+    bb_max = jnp.max(jnp.where(valid[:, None], points_world, -jnp.inf), axis=0)
+    return centers, num_new, bb_min, bb_max
+
+
+@functools.partial(jax.jit, static_argnames=("camera", "field_radius"))
+def observed_fields_jit(
+    camera, field_radius, key, depth_image, c2w, positions, allocated_mask
+):
+    return sampling.observed_fields_mask(
+        key, camera, depth_image, c2w, positions, allocated_mask, field_radius
+    )
+
+
+@jax.jit
+def reanchor_jit(arrays: map_state.MapArrays, prev_slots, new_slots):
+    return map_state.reanchor_field_poses(arrays, prev_slots, new_slots)
+
+
+@functools.partial(jax.jit, donate_argnames=("cache_rgb", "cache_depth"))
+def write_cache_slot(cache_rgb, cache_depth, slot, rgbd):
+    """Insert a frame into the keyframe cache (run_mapping.py:1686-1699)."""
+    rgb = rgbd[..., :3].astype(cache_rgb.dtype)
+    depth = rgbd[..., 3]
+    return cache_rgb.at[slot].set(rgb), cache_depth.at[slot].set(depth)
+
+
+class NeuralGraphMap:
+    """Online neural graph mapping (reference run_mapping.py:95).
+
+    Usage mirrors the reference: construct from a config dict, call
+    :meth:`fit` to map a dataset online, or drive :meth:`process_frame`
+    manually for streaming input.
+    """
+
+    def __init__(self, config: dict) -> None:
+        self._read_config(config)
+        self._init_model()
+        self._init_state()
+
+    # -- configuration ---------------------------------------------------------
+
+    def _read_config(self, config: dict) -> None:
+        c = dict(config)
+        self._config = c
+        self._model_kwargs = c["model_kwargs"]
+        self._field_radius = float(c.get("field_radius", 1.0))
+        self._update_mode = c.get("update_mode", "multi_view")
+        self._num_iterations_per_frame = int(c.get("num_iterations_per_frame", 5))
+        self._keyframes_only = bool(c.get("keyframes_only", False))
+        self._max_depth = c.get("max_depth", None)
+        self._disable_relative_fields = bool(c.get("disable_relative_fields", False))
+        self._num_kf_slots = int(c.get("num_kf_slots", 1000))
+        self._max_new_fields = int(c.get("max_new_fields", 256))
+        self._active_max_edges = int(c.get("active_max_edges", 100))
+
+        trunc = c.get("truncation_distance", 0.1)
+        range_guided = c.get("range_depth_guided", None)
+        if range_guided is None:
+            range_guided = trunc  # run_mapping.py:169-171
+        self._rcfg = render.RenderConfig(
+            geometry_mode=c.get("geometry_mode", "nrgbd"),
+            geometry_factor=float(c.get("geometry_factor", 20.0)),
+            color_factor=float(c.get("color_factor", 1.0)),
+            num_samples_coarse=int(c.get("num_samples_coarse", 8)),
+            num_samples_depth_guided=int(c.get("num_samples_depth_guided", 16)),
+            range_depth_guided=float(range_guided),
+            truncation_distance=float(trunc),
+        )
+        self._train_near = float(c.get("near_distance", 0.0))
+        self._train_far = float(c.get("far_distance", 8.0))
+        self._eval_near = float(c.get("eval_near_distance", 0.0))
+        self._eval_far = float(c.get("eval_far_distance", 8.0))
+        # derived eval sample count (run_mapping.py:199-207)
+        if self._rcfg.num_samples_depth_guided > 0:
+            self._sample_spacing = (
+                2 * self._rcfg.range_depth_guided / self._rcfg.num_samples_depth_guided
+            )
+        else:
+            self._sample_spacing = (
+                2 * self._field_radius / self._rcfg.num_samples_coarse
+            )
+        self._eval_num_samples = int(
+            c.get(
+                "eval_num_samples",
+                (self._eval_far - self._eval_near) / self._sample_spacing,
+            )
+        )
+
+        self._ocfg = optimizer.AdamConfig(
+            learning_rate=float(c.get("learning_rate", 1e-3)),
+            eps=float(c.get("adam_eps", 1e-15)),
+            weight_decay=float(c.get("adam_weight_decay", 0.0)),
+        )
+        self._loss_cfg = LossConfig(
+            termination_weight=float(c.get("termination_weight", 0.0)),
+            photometric_weight=float(c.get("photometric_weight", 1.0)),
+            photometric_loss=c.get("photometric_loss", "l1"),
+            depth_weight=float(c.get("depth_weight", 1.0)),
+            depth_loss=c.get("depth_loss", "huber"),
+            freespace_weight=float(c.get("freespace_weight", 40.0)),
+            tsdf_weight=float(c.get("tsdf_weight", 50.0)),
+            num_rays_per_field=int(c.get("num_rays_per_field", 512)),
+        )
+        self._num_train_fields = int(c.get("num_train_fields", 32))
+        self._pixel_block_size = int(c.get("pixel_block_size", 8192))
+        self._seed = int(c.get("seed", 0))
+
+    def _init_model(self) -> None:
+        self._fset = NeuralFieldSet(**self._model_kwargs)
+        self._key = jax.random.PRNGKey(self._seed)
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _init_state(self) -> None:
+        cap = 32
+        self._map_arrays = map_state.init_map_arrays(cap)
+        self._params = self._fset.init_fields(self._next_key(), cap)
+        self._adam = optimizer.init_adam_state(self._params)
+        self._num_fields = 0
+
+        self._graph: Dict[int, Set[int]] = {}
+        self._kf2fields: Dict[int, Set[int]] = {}
+        self._kf_ids: Set[int] = set()
+        self._last_update: Optional[int] = None
+        self._prev_kf2w_slots: Optional[np.ndarray] = None
+
+        # keyframe cache (run_mapping.py:1673-1683); slot 0 = current frame
+        self._cache_rgb = None  # allocated lazily once H, W known
+        self._cache_depth = None
+        self._cache_c2w_np = np.tile(np.eye(4, dtype=np.float32), (self._num_kf_slots, 1, 1))
+        self._cache_valid_np = np.zeros((self._num_kf_slots,), bool)
+        self._free_slots = list(range(1, self._num_kf_slots))
+        self._frame_to_slot: Dict[int, int] = {}
+
+        self._observed_mask = None
+        self._bb_min = np.full((3,), np.inf, np.float32)
+        self._bb_max = np.full((3,), -np.inf, np.float32)
+        self._total_optimization_time = 0.0
+        self._frames_processed = 0
+
+    # -- capacity management ----------------------------------------------------
+
+    @property
+    def num_fields(self) -> int:
+        return self._num_fields
+
+    @property
+    def capacity(self) -> int:
+        return map_state.capacity(self._map_arrays)
+
+    def _ensure_capacity(self, required: int) -> None:
+        cap = self.capacity
+        if required <= cap:
+            return
+        new_cap = cap
+        while new_cap < required:
+            new_cap *= 2
+        logger.info("growing field capacity %d -> %d", cap, new_cap)
+        self._map_arrays = map_state.grow_capacity(self._map_arrays, new_cap)
+        extra = self._fset.init_fields(self._next_key(), new_cap - cap)
+        self._params = {
+            k: jnp.concatenate([v, extra[k]], axis=0) for k, v in self._params.items()
+        }
+        self._adam = optimizer.grow_adam_state(self._adam, self._params)
+
+    def _allocated_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self._num_fields
+
+    # -- per-frame pipeline ------------------------------------------------------
+
+    def _init_cache(self, h: int, w: int) -> None:
+        s = self._num_kf_slots
+        self._cache_rgb = jnp.zeros((s, h, w, 3), jnp.bfloat16)
+        self._cache_depth = jnp.zeros((s, h, w), jnp.float32)
+
+    def _update_graph(self, dataset, frame_id: int) -> None:
+        """Pose-graph update + keyframe removal handling (run_mapping.py:888-934)."""
+        new_graph = dataset.get_slam_essential_graph(frame_id)
+
+        if self._last_update is None:
+            self._graph = {k: set(v) for k, v in new_graph.items()}
+            self._last_update = frame_id
+            self._prev_kf2w_slots = self._snapshot_kf_slot_poses(dataset, frame_id)
+            return
+
+        prev_kfs = set(self._kf_ids)
+        removed = prev_kfs - set(new_graph.keys())
+        surviving = prev_kfs - removed
+        if dataset.is_keyframe(frame_id):
+            surviving.add(frame_id)
+
+        kf_ids_np = np.asarray(self._map_arrays.kf_ids)
+        kf_slots_np = np.asarray(self._map_arrays.kf_slots)
+        dirty = False
+        for kf in sorted(removed):
+            self._kf_ids.discard(kf)
+            slot = self._frame_to_slot.pop(kf, None)
+            if slot is not None:
+                self._free_slots.append(slot)
+                self._cache_valid_np[slot] = False
+            # re-anchor fields to nearest surviving keyframe (:918-926)
+            after = min((i for i in surviving if i >= kf), default=None)
+            before = max((i for i in surviving if i <= kf), default=None)
+            new_anchor = after if (after is not None and after in prev_kfs) else before
+            if new_anchor is None:
+                continue
+            if kf in self._kf2fields:
+                self._kf2fields.setdefault(new_anchor, set()).update(
+                    self._kf2fields.pop(kf)
+                )
+            mask = kf_ids_np == kf
+            if mask.any():
+                kf_ids_np[mask] = new_anchor
+                kf_slots_np[mask] = self._frame_to_slot.get(new_anchor, 0)
+                dirty = True
+        if dirty:
+            self._map_arrays = self._map_arrays._replace(
+                kf_ids=jnp.asarray(kf_ids_np), kf_slots=jnp.asarray(kf_slots_np)
+            )
+
+        # loop-closure deformation (run_mapping.py:936-952). The prev snapshot
+        # was taken at the END of the previous frame (after that frame's
+        # keyframe slot registration), so every field's anchor slot has a real
+        # pose on both sides of the delta.
+        new_slot_poses = self._snapshot_kf_slot_poses(dataset, frame_id)
+        if not self._disable_relative_fields and self._num_fields > 0:
+            self._map_arrays = reanchor_jit(
+                self._map_arrays,
+                jnp.asarray(self._prev_kf2w_slots),
+                jnp.asarray(new_slot_poses),
+            )
+        self._graph = {k: set(v) for k, v in new_graph.items()}
+        self._last_update = frame_id
+
+    def _snapshot_kf_slot_poses(self, dataset, at_frame_id: int) -> np.ndarray:
+        """Per-slot keyframe poses at a given frame (identity for free slots)."""
+        poses = np.tile(np.eye(4, dtype=np.float32), (self._num_kf_slots, 1, 1))
+        for kf, slot in self._frame_to_slot.items():
+            c2w = np.asarray(dataset.get_slam_c2ws(kf, at_frame_id))
+            if np.isfinite(c2w).all():
+                poses[slot] = c2w
+        return poses
+
+    def _active_field_ids(self, frame_id: int) -> np.ndarray:
+        """Fields of keyframes within BFS distance of the closest keyframe
+        (run_mapping.py:817-825)."""
+        kfs = [k for k in self._graph.keys() if k <= frame_id]
+        if not kfs:
+            return np.zeros((0,), np.int64)
+        closest = max(kfs)
+        neighbors = graph_mod.get_neighbors(
+            self._graph, {closest}, max_edges=self._active_max_edges, include_queries=True
+        )
+        ids: Set[int] = set()
+        for kf in neighbors:
+            ids |= self._kf2fields.get(kf, set())
+        return np.fromiter(ids, np.int64) if ids else np.zeros((0,), np.int64)
+
+    def process_frame(
+        self,
+        dataset,
+        frame_id: int,
+        rgbd: jnp.ndarray,
+        log_fn=None,
+    ) -> dict:
+        """Ingest one frame and run the per-frame optimization
+        (run_mapping.py:1224-1257 + _update_slam_state:1599-1640)."""
+        t_start = time.time()
+        h, w = rgbd.shape[0], rgbd.shape[1]
+        if self._cache_rgb is None:
+            self._init_cache(h, w)
+            self._camera = dataset.camera
+
+        if self._max_depth is not None:
+            depth = rgbd[..., 3]
+            rgbd = rgbd.at[..., 3].set(jnp.where(depth > self._max_depth, 0.0, depth))
+
+        c2w_np = np.asarray(dataset.get_slam_c2ws(frame_id))
+        c2w_missing = not np.isfinite(c2w_np).all()
+        c2w = jnp.asarray(c2w_np if not c2w_missing else np.eye(4, dtype=np.float32))
+
+        self._update_graph(dataset, frame_id)
+
+        is_kf = dataset.is_keyframe(frame_id)
+        if is_kf:
+            self._kf_ids.add(frame_id)
+            if not self._free_slots:
+                raise ValueError("Maximum number of keyframes reached.")
+            slot = self._free_slots.pop(0)
+            self._frame_to_slot[frame_id] = slot
+            self._cache_valid_np[slot] = True
+            self._cache_rgb, self._cache_depth = write_cache_slot(
+                self._cache_rgb, self._cache_depth, slot, rgbd
+            )
+            if not c2w_missing:
+                self._allocate_new_fields(frame_id, rgbd[..., 3], c2w, slot)
+
+        # current frame occupies slot 0 (run_mapping.py:1686-1692)
+        if not self._keyframes_only:
+            if c2w_missing:
+                self._cache_valid_np[0] = False
+            else:
+                self._cache_rgb, self._cache_depth = write_cache_slot(
+                    self._cache_rgb, self._cache_depth, 0, rgbd
+                )
+                self._cache_valid_np[0] = True
+                self._cache_c2w_np[0] = c2w_np
+
+        # refresh slot poses (SLAM refines keyframe poses continuously); taken
+        # AFTER keyframe registration so the new keyframe's slot is included,
+        # and stored as the prev snapshot for the next frame's re-anchoring
+        self._prev_kf2w_slots = self._snapshot_kf_slot_poses(dataset, frame_id)
+        self._cache_c2w_np[1:] = self._prev_kf2w_slots[1:]
+        cache_c2w = jnp.asarray(self._cache_c2w_np)
+        cache_valid = jnp.asarray(self._cache_valid_np)
+
+        # observed fields for the target sampler (run_mapping.py:1633-1637)
+        allocated = self._allocated_mask()
+        if not c2w_missing and self._num_fields > 0:
+            self._observed_mask = observed_fields_jit(
+                self._camera,
+                self._field_radius,
+                self._next_key(),
+                rgbd[..., 3],
+                c2w,
+                self._map_arrays.positions,
+                allocated,
+            )
+        elif self._observed_mask is None or self._observed_mask.shape[0] != self.capacity:
+            self._observed_mask = jnp.zeros((self.capacity,), bool)
+
+        loss_dict = {}
+        if self._num_fields > 0:
+            for _ in range(self._num_iterations_per_frame):
+                (
+                    self._params,
+                    self._adam,
+                    new_ti,
+                    loss_dict,
+                ) = optimization_iteration(
+                    self._fset,
+                    self._camera,
+                    self._rcfg,
+                    self._ocfg,
+                    self._loss_cfg,
+                    self._num_train_fields,
+                    self._params,
+                    self._adam,
+                    self._map_arrays.training_iterations,
+                    self._map_arrays.positions,
+                    self._map_arrays.orientations,
+                    allocated,
+                    self._observed_mask,
+                    self._cache_rgb,
+                    self._cache_depth,
+                    cache_c2w,
+                    cache_valid,
+                    self._next_key(),
+                )
+                self._map_arrays = self._map_arrays._replace(training_iterations=new_ti)
+                if log_fn is not None:
+                    log_fn(loss_dict)
+
+        self._frames_processed += 1
+        self._total_optimization_time += time.time() - t_start
+        return {k: float(v) for k, v in loss_dict.items()}
+
+    def _allocate_new_fields(self, frame_id, depth, c2w, kf_slot) -> None:
+        active_ids = self._active_field_ids(frame_id)
+        # dense active mask over capacity
+        active_mask_np = np.zeros((self.capacity,), bool)
+        active_mask_np[active_ids] = True
+        if self._num_fields == 0:
+            active_positions = self._map_arrays.positions
+            active_mask = jnp.zeros((self.capacity,), bool)
+        else:
+            active_positions = self._map_arrays.positions
+            active_mask = jnp.asarray(active_mask_np)
+
+        centers, num_new, bb_min, bb_max = allocate_fields_jit(
+            self._camera,
+            self._field_radius,
+            self._max_new_fields,
+            depth,
+            c2w,
+            active_positions,
+            active_mask,
+            self._next_key(),
+        )
+        n_new = int(num_new)
+        self._bb_min = np.minimum(self._bb_min, np.asarray(bb_min))
+        self._bb_max = np.maximum(self._bb_max, np.asarray(bb_max))
+        if n_new == 0:
+            return
+        self._ensure_capacity(self._num_fields + n_new)
+        self._map_arrays = map_state.append_fields(
+            self._map_arrays, self._num_fields, centers, num_new, frame_id, kf_slot
+        )
+        self._kf2fields.setdefault(frame_id, set()).update(
+            range(self._num_fields, self._num_fields + n_new)
+        )
+        self._num_fields += n_new
+
+    # -- throughput accounting (run_mapping.py:1225-1251) ------------------------
+
+    @property
+    def fps_estimate(self) -> float:
+        if self._total_optimization_time == 0:
+            return 0.0
+        return self._frames_processed / self._total_optimization_time
+
+    @property
+    def spf_estimate(self) -> float:
+        if self._frames_processed == 0:
+            return 0.0
+        return self._total_optimization_time / self._frames_processed
+
+    # -- inference ----------------------------------------------------------------
+
+    def render_image(
+        self,
+        c2w: jnp.ndarray,
+        camera,
+        capacity_per_field: int = 16384,
+    ):
+        """Render a full RGB-D image with the KNN blend path
+        (run_mapping.py:403-437). Chunked over pixel blocks.
+
+        Returns (rgbd (H, W, 4), depth_vars (H, W)).
+        """
+        h, w = camera.height, camera.width
+        ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        ijs_all = jnp.asarray(
+            np.stack([ii, jj], -1).reshape(-1, 2).astype(np.float32)
+        )
+        block = self._pixel_block_size
+        n = ijs_all.shape[0]
+        pad = (-n) % block
+        ijs_all = jnp.concatenate([ijs_all, jnp.zeros((pad, 2))], axis=0)
+
+        outs = []
+        dvars = []
+        for start in range(0, n + pad, block):
+            rgbd, dvar = self._render_ij_block(
+                ijs_all[start : start + block], c2w, camera, capacity_per_field
+            )
+            outs.append(rgbd)
+            dvars.append(dvar)
+        rgbds = jnp.concatenate(outs)[:n].reshape(h, w, 4)
+        depth_vars = jnp.concatenate(dvars)[:n].reshape(h, w)
+        return rgbds, depth_vars
+
+    def _render_ij_block(self, ijs, c2w, camera, capacity_per_field):
+        return render_block_jit(
+            self._fset,
+            camera,
+            self._rcfg,
+            self._eval_num_samples,
+            self._eval_near,
+            self._eval_far,
+            capacity_per_field,
+            self._params,
+            self._map_arrays.positions,
+            self._map_arrays.orientations,
+            self._allocated_mask(),
+            ijs,
+            jnp.asarray(c2w),
+            self._next_key(),
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fset", "camera", "rcfg", "num_samples", "near", "far", "capacity"),
+)
+def render_block_jit(
+    fset: NeuralFieldSet,
+    camera,
+    rcfg: render.RenderConfig,
+    num_samples: int,
+    near: float,
+    far: float,
+    capacity: int,
+    params,
+    positions,
+    orientations,
+    allocated_mask,
+    ijs,  # (B, 2) float
+    c2w,  # (4, 4)
+    key,
+):
+    """Full-image render block: uniform eval sampling + KNN field blend
+    (run_mapping.py:440-666 with use_vmap=False -> models.py:347-405)."""
+    b = ijs.shape[0]
+    dirs = camera.ijs_to_directions(ijs)
+    edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
+    u = jax.random.uniform(key, (b, num_samples))
+    distances = near + (far - near) * (edges + u / num_samples)  # (B, S)
+    points_cam = dirs[:, None, :] * distances[..., None]
+    points_world = transforms.transform_points(points_cam, c2w)
+
+    n_cap = positions.shape[0]
+    # dispatch capacity: total pairs / fields, padded; static per (B, n_cap)
+    outs = fset.apply_knn(
+        params,
+        points_world.reshape(-1, 3),
+        positions,
+        orientations,
+        allocated_mask,
+        capacity=capacity,
+    ).reshape(b, num_samples, -1)
+
+    sample_colors = rcfg.color_factor * outs[..., :3]
+    sample_geometries = outs[..., 3]
+    sample_depths = -points_cam[..., 2]
+    neus_isds = None
+    if rcfg.geometry_mode == "neus":
+        # eval path: use the mean inv-sd across fields (the reference KNN path
+        # has no per-sample neus_isds either; quadrature uses blended geometry)
+        neus_isds = 1.0 / jnp.abs(jnp.mean(params["neus_sd"]))
+
+    from neural_graph_mapping_tpu.ops import quadrature as quad_mod
+
+    q = quad_mod.quadrature(
+        rcfg.geometry_mode,
+        sample_colors,
+        sample_geometries,
+        distances,
+        sample_depths,
+        geometry_factor=rcfg.geometry_factor,
+        neus_isds=neus_isds,
+    )
+    rgbd = jnp.concatenate([q.colors, q.depths[..., None]], axis=-1)
+    return rgbd, q.depth_vars

@@ -82,26 +82,27 @@ def field_cell_size(field_radius: float) -> float:
     return 2.0 * field_radius / math.sqrt(3.0)
 
 
+_CELL_OFFSET = 500
+_CELL_BASE = 1001  # 1001**3 < 2**31: codes fit int32 (jax default int width)
+_INVALID_CODE = jnp.iinfo(jnp.int32).max
+
+
 def _cell_code(ijk: jnp.ndarray) -> jnp.ndarray:
     """Pack integer grid coords (..., 3) into one sortable int32 code.
 
-    Cells within +-1000 cells of the origin (> 1 km at 1 m radius) are
-    uniquely encoded; beyond that codes alias, which only risks skipping an
+    Cells within +-500 cells of the origin (> 500 m at 1 m field radius) are
+    uniquely encoded; beyond that coords clamp, which only risks skipping an
     allocation (it will be retried next keyframe).
     """
-    offset = 1000
-    base = 2001
-    c = jnp.clip(ijk + offset, 0, base - 1).astype(jnp.int64)
-    return (c[..., 0] * base + c[..., 1]) * base + c[..., 2]
+    c = jnp.clip(ijk + _CELL_OFFSET, 0, _CELL_BASE - 1).astype(jnp.int32)
+    return (c[..., 0] * _CELL_BASE + c[..., 1]) * _CELL_BASE + c[..., 2]
 
 
 def _code_to_cell(code: jnp.ndarray) -> jnp.ndarray:
-    offset = 1000
-    base = 2001
-    z = code % base
-    y = (code // base) % base
-    x = code // (base * base)
-    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32) - offset
+    z = code % _CELL_BASE
+    y = (code // _CELL_BASE) % _CELL_BASE
+    x = code // (_CELL_BASE * _CELL_BASE)
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32) - _CELL_OFFSET
 
 
 def uncovered_cells(
@@ -160,16 +161,15 @@ def uncovered_cells(
     # -- 2. quantize + dedupe --------------------------------------------------
     ijk = jnp.floor((points_world + shift) / cell).astype(jnp.int32)
     codes = _cell_code(ijk)
-    invalid_code = jnp.int64(2**62)
-    codes = jnp.where(uncovered, codes, invalid_code)
+    codes = jnp.where(uncovered, codes, _INVALID_CODE)
     codes = jnp.sort(codes)
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), codes[1:] != codes[:-1]]
-    ) & (codes < invalid_code)
+    ) & (codes < _INVALID_CODE)
 
     # -- 3. exclude cells already holding a field ------------------------------
     f_ijk = jnp.floor((field_positions + shift) / cell).astype(jnp.int32)
-    f_codes = jnp.where(field_valid, _cell_code(f_ijk), invalid_code)
+    f_codes = jnp.where(field_valid, _cell_code(f_ijk), _INVALID_CODE)
     f_codes = jnp.sort(f_codes)
     pos = jnp.searchsorted(f_codes, codes)
     already = jnp.take(f_codes, jnp.clip(pos, 0, f_codes.shape[0] - 1)) == codes
@@ -178,7 +178,7 @@ def uncovered_cells(
     # compact the first max_new fresh codes into the output
     order = jnp.cumsum(fresh) - 1  # destination index per fresh code
     dest = jnp.where(fresh & (order < max_new), order, max_new)
-    out_codes = jnp.full((max_new + 1,), invalid_code).at[dest].set(codes, mode="drop")
+    out_codes = jnp.full((max_new + 1,), _INVALID_CODE).at[dest].set(codes, mode="drop")
     out_codes = out_codes[:max_new]
     num_new = jnp.minimum(jnp.sum(fresh), max_new).astype(jnp.int32)
 

@@ -18,21 +18,19 @@ the reference's ``torch.vmap(functional_call(...))`` path (models.py:342-345).
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Sequence
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-Params = Dict[str, jnp.ndarray]
+from neural_graph_mapping_tpu.ops import permuto
 
-# Large primes for spatial hashing (standard instant-ngp / permutohedral choice).
-_HASH_PRIMES = np.array([1, 2654435761, 805459861, 3674653429], dtype=np.uint32)
+Params = Dict[str, jnp.ndarray]
 
 
 class PermutohedralEncoding:
-    """Multiresolution permutohedral-lattice hash encoding (pure jnp).
+    """Multiresolution permutohedral-lattice hash encoding (TPU-tuned).
 
     Functional equivalent of the CUDA ``permutohedral_encoding.PermutoEncoding``
     as configured by the reference (positional_encodings.py:19-66,
@@ -93,9 +91,7 @@ class PermutohedralEncoding:
         # Elevation scale: normalize so that lattice spacing ~ `scale` in
         # euclidean space. sigma_i = 1/sqrt((i+1)(i+2)) is the standard
         # column normalization of the elevation basis E.
-        self._elev_scale = jnp.asarray(
-            [1.0 / math.sqrt((i + 1) * (i + 2)) for i in range(d)], dtype=jnp.float32
-        ) * (d + 1)
+        self._elev_scale = jnp.asarray(permuto.make_elevation_scale(d))
 
     def get_out_dim(self) -> int:
         out = self.nr_levels * self.nr_feat_per_level
@@ -104,106 +100,47 @@ class PermutohedralEncoding:
         return out
 
     def init(self, key: jax.Array) -> Params:
+        # feature-major table layout (L, F, T): see ops/permuto.py docstring
+        # (avoids all minor-dim-2 transposes in the hot path)
         table = self.init_scale * jax.random.uniform(
             key,
-            (self.nr_levels, self.capacity, self.nr_feat_per_level),
+            (self.nr_levels, self.nr_feat_per_level, self.capacity),
             minval=-1.0,
             maxval=1.0,
         )
         return {"table": table}
 
-    # -- lattice helpers -----------------------------------------------------
+    # -- lattice + gather (see ops/permuto.py for the TPU-tuned core) --------
 
     def _lattice_keys_and_weights(self, points: jnp.ndarray):
-        """Simplex corner hash indices + barycentric weights for all levels.
+        """Corner hash indices + barycentric weights for all levels.
 
         Args:
-            points: (..., d).
+            points: (P, d).
 
         Returns:
-            idx: (..., L, d+1) int32 hash-table indices.
-            w: (..., L, d+1) float barycentric weights.
+            idx: (L, d+1, P) int32 hash-table indices (points-minor layout).
+            w: (L, d+1, P) float barycentric weights.
         """
-        d = self.pos_dim
-        scales = jnp.asarray(self.scales)  # (L,)
-        # scaled lattice coordinates per level: (..., L, d)
-        x = points[..., None, :] / scales[:, None] + self._shifts
-        # Elevate onto the sum-zero hyperplane H_d in R^{d+1}.
-        cf = x * self._elev_scale  # (..., L, d)
-        # elevated[i] = sum(cf[i:]) - i * cf[i-1], elevated[0] = sum(cf)
-        rev_csum = jnp.cumsum(cf[..., ::-1], axis=-1)[..., ::-1]  # suffix sums
-        elev_rest = jnp.concatenate(
-            [rev_csum[..., 1:], jnp.zeros_like(cf[..., :1])], axis=-1
-        ) - jnp.arange(1, d + 1, dtype=cf.dtype) * cf
-        elevated = jnp.concatenate([rev_csum[..., :1], elev_rest], axis=-1)  # (...,L,d+1)
-
-        # Greedy rounding to nearest remainder-0 point.
-        down = 1.0 / (d + 1)
-        rem0 = jnp.round(elevated * down) * (d + 1)  # (..., L, d+1)
-        diff = elevated - rem0
-        # rank[i] = number of j with diff[j] > diff[i] (ties by index)
-        gt = (diff[..., None, :] > diff[..., :, None]) | (
-            (diff[..., None, :] == diff[..., :, None])
-            & (jnp.arange(d + 1)[None, :] > jnp.arange(d + 1)[:, None])
+        return permuto.lattice_keys_and_weights(
+            points,
+            jnp.asarray(self.scales),
+            self._shifts,
+            self._elev_scale,
+            self.capacity,
         )
-        rank = jnp.sum(gt, axis=-1).astype(jnp.int32)  # (..., L, d+1), 0 = largest diff
-
-        # Fix points rounded off the hyperplane: sum(rem0)/(d+1) must be 0.
-        s = (jnp.sum(rem0, axis=-1) * down).astype(jnp.int32)  # (..., L)
-        rank = rank + s[..., None]
-        rem0 = jnp.where(rank[..., :] < 0, rem0 + (d + 1), rem0)
-        rank = jnp.where(rank < 0, rank + (d + 1), rank)
-        rem0 = jnp.where(rank > d, rem0 - (d + 1), rem0)
-        rank = jnp.where(rank > d, rank - (d + 1), rank)
-
-        # Barycentric weights (..., L, d+2) via one-hot scatter-add on the rank:
-        # bary[d - rank[i]] += v[i]; bary[d + 1 - rank[i]] -= v[i]
-        v = (elevated - rem0) * down
-        idx_hi = d - rank  # in [0, d]
-        one_hot_hi = jax.nn.one_hot(idx_hi, d + 2, dtype=v.dtype)
-        one_hot_lo = jax.nn.one_hot(idx_hi + 1, d + 2, dtype=v.dtype)
-        bary = jnp.einsum("...i,...ik->...k", v, one_hot_hi) - jnp.einsum(
-            "...i,...ik->...k", v, one_hot_lo
-        )
-        bary = bary.at[..., 0].add(1.0 + bary[..., d + 1])
-        weights = bary[..., : d + 1]  # (..., L, d+1) weights of the d+1 corners
-
-        # Corner coordinates: key_k[i] = rem0[i] + canonical[k][rank[i]] where
-        # canonical[k][r] = k if r < d+1-k else k-(d+1).
-        ks = jnp.arange(d + 1, dtype=jnp.int32)  # corner index (d+1,)
-        canonical = jnp.where(
-            rank[..., None, :] < (d + 1 - ks[:, None]), ks[:, None], ks[:, None] - (d + 1)
-        )  # (..., L, d+1 corners, d+1 coords)
-        keys = rem0[..., None, :].astype(jnp.int32) + canonical
-
-        # Hash first d coordinates (the last is determined by the zero-sum).
-        primes = jnp.asarray(_HASH_PRIMES[:d].astype(np.int64).astype(np.uint32))
-        h = jnp.zeros(keys.shape[:-1], dtype=jnp.uint32)
-        for i in range(d):
-            h = h ^ (keys[..., i].astype(jnp.uint32) * primes[i])
-        idx = (h & jnp.uint32(self.capacity - 1)).astype(jnp.int32)
-        return idx, weights
 
     def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
         """Encode points (..., d) -> (..., nr_levels * nr_feat_per_level [+ d])."""
-        table = params["table"]  # (L, T, F)
-        idx, w = self._lattice_keys_and_weights(points)  # (..., L, d+1)
-        feats = self._gather(table, idx)  # (..., L, d+1, F)
-        out = jnp.sum(feats * w[..., None], axis=-2)  # (..., L, F)
-        out = out.reshape(out.shape[:-2] + (self.nr_levels * self.nr_feat_per_level,))
+        table = params["table"]  # (L, F, T) feature-major
+        lead = points.shape[:-1]
+        flat = points.reshape(-1, self.pos_dim)
+        idx, w = self._lattice_keys_and_weights(flat)  # (L, K, P)
+        out = permuto.gather_blend(table, idx, w)  # (P, L*F)
+        out = out.reshape(lead + (self.nr_levels * self.nr_feat_per_level,))
         if self.concat_points:
             out = jnp.concatenate([out, self.concat_points_scaling * points], axis=-1)
         return out
-
-    def _gather(self, table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-        """Gather features: table (L, T, F), idx (..., L, K) -> (..., L, K, F)."""
-        # vmap the per-level take over the level axis.
-        def per_level(tab_l, idx_l):  # (T, F), (..., K)
-            return jnp.take(tab_l, idx_l, axis=0)  # (..., K, F)
-
-        moved = jnp.moveaxis(idx, -2, 0)  # (L, ..., K)
-        out = jax.vmap(per_level)(table, moved)  # (L, ..., K, F)
-        return jnp.moveaxis(out, 0, -3)  # (..., L, K, F)
 
 
 class TriplaneEncoding:

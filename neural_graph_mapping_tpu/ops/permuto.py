@@ -1,32 +1,41 @@
 """Permutohedral-lattice hash encoding core: TPU-tuned lattice math + gather.
 
 Split out of :mod:`neural_graph_mapping_tpu.ops.encodings` so the hot math can
-be layout-tuned independently of the module interface. Two TPU-specific
+be layout-tuned independently of the module interface. Three TPU-specific
 choices (measured on v5e):
 
 1. **Points-minor layout.** All lattice arithmetic runs on ``(L, d+1, P)``
    tensors (points in the 128-lane minor dimension) with the tiny d+1 = 4 and
    level axes unrolled/static. The naive ``(P, L, 4)`` layout leaves 96% of
-   VPU lanes idle and measured ~27 ms for 400k lattice embeddings; this
-   layout is ~100x better.
+   VPU lanes idle (~27 ms for 400k lattice embeddings; this layout ~100x
+   less).
 
-2. **Scatter-free backward.** XLA's TPU scatter-add for the hash-table
-   gradient (1.5M updates into a 2^12-entry table) measures ~27 ms because it
-   serializes. The custom VJP instead decomposes the one-hot index matrix as
-   ``onehot(idx) = onehot(idx >> 6) x onehot(idx & 63)`` and contracts with
-   two dense einsums — turning the scatter into MXU matmuls. Gradients w.r.t.
-   the barycentric weights are exact, so point-gradients (eikonal etc.) flow
-   through standard autodiff of the lattice math; gradients w.r.t. the
-   discrete indices are (correctly) zero.
+2. **Feature-major tables.** Hash tables are stored ``(L, F, T)`` — features
+   MAJOR, table index minor — so neither the forward gather nor the backward
+   histogram ever needs a minor-dimension-2 transpose. (A single
+   ``moveaxis(..., -1, 1)`` on the gradient values measured **35 ms** on v5e;
+   the entire backward kernel without it is ~0.1 ms.)
+
+3. **Scatter-free backward.** XLA's TPU scatter-add for the hash-table
+   gradient serializes (~27 ms at 1/16 of the training shape), and XLA sort
+   measures ~1.1 s. The Pallas kernel in
+   :mod:`neural_graph_mapping_tpu.ops.permuto_pallas` instead decomposes
+   ``onehot(idx) = onehot(idx >> 6) (x) onehot(idx & 63)`` and accumulates
+   with MXU matmuls, one-hots generated in VMEM.
+
+Gradients w.r.t. the barycentric weights are exact, so point-gradients
+(eikonal etc.) flow through standard autodiff of the lattice math; gradients
+w.r.t. the discrete indices are (correctly) zero.
 
 Lattice algorithm: Adams, Baek, Davis, "Fast High-Dimensional Filtering Using
 the Permutohedral Lattice" (CGF 2010). Replaces the reference's CUDA
-``permutohedral_encoding`` extension (reference positional_encodings.py:19-66).
+``permutohedral_encoding`` extension (reference positional_encodings.py:19-66,
+pinned in /pyproject.toml:20).
 """
 
 from __future__ import annotations
 
-from functools import partial
+import math
 from typing import Tuple
 
 import jax
@@ -35,6 +44,14 @@ import numpy as np
 
 # Large primes for spatial hashing (instant-ngp style).
 HASH_PRIMES = (1, 2654435761, 805459861, 3674653429)
+
+
+def make_elevation_scale(d: int) -> np.ndarray:
+    """Column normalization of the elevation basis E (times d+1 so the
+    effective lattice spacing matches the per-level scale)."""
+    return np.asarray(
+        [1.0 / math.sqrt((i + 1) * (i + 2)) for i in range(d)], dtype=np.float32
+    ) * (d + 1)
 
 
 def lattice_keys_and_weights(
@@ -51,20 +68,22 @@ def lattice_keys_and_weights(
         w: (L, d+1, P) barycentric weights (sum to 1 over corners).
     """
     d = points.shape[-1]
-    L = scales.shape[0]
 
-    x = points.T[None, :, :] / scales[:, None, None] + shifts[:, :, None]  # (L, d, P)
-    cf = x * elev_scale[None, :, None]  # (L, d, P)
+    # Per-coordinate slices instead of a transpose: a (P, 3) -> (3, P)
+    # transpose has minor-dim 3 and is pathologically slow on TPU.
+    cfs = [
+        (points[..., i][None, :] / scales[:, None] + shifts[:, i, None])
+        * elev_scale[i]
+        for i in range(d)
+    ]  # each (L, P)
 
     # Elevate onto the sum-zero hyperplane H_d:
     # elevated[0] = sum_i cf[i]; elevated[i] = sum_{j>=i} cf[j] - i*cf[i-1].
-    cfs = [cf[:, i] for i in range(d)]  # each (L, P)
     suffix = [None] * (d + 1)
     suffix[d] = jnp.zeros_like(cfs[0])
     for i in range(d - 1, -1, -1):
         suffix[i] = suffix[i + 1] + cfs[i]
     elevated = [suffix[0]] + [suffix[i] - i * cfs[i - 1] for i in range(1, d + 1)]
-    # elevated: list of d+1 tensors (L, P)
 
     down = 1.0 / (d + 1)
     rem0 = [jnp.round(e * down) * (d + 1) for e in elevated]
@@ -79,8 +98,7 @@ def lattice_keys_and_weights(
             rank[j] = rank[j] + (~i_smaller).astype(jnp.int32)
 
     # Fix points rounded off the hyperplane.
-    s = sum(rem0) * down  # (L, P), integral-valued float
-    s = jnp.round(s).astype(jnp.int32)
+    s = jnp.round(sum(rem0) * down).astype(jnp.int32)
     for i in range(d + 1):
         r = rank[i] + s
         low = r < 0
@@ -116,79 +134,89 @@ def lattice_keys_and_weights(
 
 
 # ---------------------------------------------------------------------------
-# Gather + blend with scatter-free custom VJP
+# Gather + blend with scatter-free custom VJP.
+# Tables are feature-major: (L, F, T).
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=())
+def _gathered_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table (L, F, T), idx (L, K, P) -> feats (L, F, K, P)."""
+
+    def per_level(tab_l, idx_l):  # (F, T), (K, P)
+        return jnp.take(tab_l, idx_l, axis=1)  # (F, K, P)
+
+    return jax.vmap(per_level)(table, idx)
+
+
+def _blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    feats = _gathered_feats(table, idx)  # (L, F, K, P)
+    out = jnp.einsum("lfkp,lkp->lfp", feats, w)  # (L, F, P)
+    l, f, p = out.shape
+    return out.reshape(l * f, p).T  # (P, L*F), one transpose with big minor dims
+
+
+@jax.custom_vjp
 def gather_blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """out[l, p, f] = sum_k table[l, idx[l, k, p], f] * w[l, k, p].
+    """out[p, l*F + f] = sum_k table[l, f, idx[l, k, p]] * w[l, k, p].
 
     Args:
-        table: (L, T, F) hash tables.
-        idx: (L, K, P) int32 indices (K = d+1 corners).
-        w: (L, K, P) blend weights.
+        table: (L, F, T) feature-major hash tables.
+        idx: (L, K, P) int32 corner indices.
+        w: (L, K, P) barycentric blend weights.
 
     Returns:
-        (L, P, F) blended features.
+        (P, L*F) blended features (ready to feed the field MLP).
     """
-    return _gather_blend_fwd_impl(table, idx, w)
-
-
-def _gather_blend_fwd_impl(table, idx, w):
-    def per_level(tab_l, idx_l, w_l):  # (T,F), (K,P), (K,P)
-        feats = jnp.take(tab_l, idx_l, axis=0)  # (K, P, F)
-        return jnp.einsum("kpf,kp->pf", feats, w_l)
-
-    return jax.vmap(per_level)(table, idx, w)
+    return _blend(table, idx, w)
 
 
 def _gather_blend_fwd(table, idx, w):
-    return _gather_blend_fwd_impl(table, idx, w), (table, idx, w)
+    return _blend(table, idx, w), (table, idx, w)
+
+
+def _table_grad_fallback(idx, gv, table_size):
+    """Scatter-add table gradient for CPU / non-TPU backends.
+
+    idx (L, K, P), gv (L, F, K*P) -> (L, F, T).
+    """
+    l, f, m = gv.shape
+
+    def per_level(idx_l, gv_l):  # (K*P,), (F, M)
+        z = jnp.zeros((f, table_size), gv.dtype)
+        return z.at[:, idx_l].add(gv_l)
+
+    return jax.vmap(per_level)(idx.reshape(l, m), gv)
+
+
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _gather_blend_bwd(res, g):
     table, idx, w = res
-    L, T, F = table.shape
-    K = idx.shape[1]
+    L, F, T = table.shape
+    _, K, P = idx.shape
 
-    # grad wrt w: exact — d out / d w[l,k,p] = table[l, idx[l,k,p], :] . g[l,p,:]
-    def per_level_w(tab_l, idx_l, g_l):
-        feats = jnp.take(tab_l, idx_l, axis=0)  # (K, P, F)
-        return jnp.einsum("kpf,pf->kp", feats, g_l)
+    # cotangent g: (P, L*F) -> (L, F, P) with one large-minor transpose
+    g_r = g.T.reshape(L, F, P)
 
-    grad_w = jax.vmap(per_level_w)(table, idx, g)
+    # grad wrt w (exact): dw[l,k,p] = sum_f table[l, f, idx[l,k,p]] * g[l,f,p]
+    feats = _gathered_feats(table, idx)  # (L, F, K, P)
+    grad_w = jnp.einsum("lfkp,lfp->lkp", feats, g_r)
 
-    # grad wrt table: scatter-free via decomposed one-hot matmuls.
-    # onehot(t)[m] = onehot_hi(t >> bits_lo)[m] * onehot_lo(t & mask)[m]
-    bits_lo = max(1, (T.bit_length() - 1) // 2)
-    n_lo = 1 << bits_lo
-    n_hi = (T + n_lo - 1) // n_lo
+    # grad wrt table: histogram of gv = w * g over the hash indices.
+    # gv laid out (L, F, K, P) -> (L, F, K*P): reshape only, no transpose.
+    gv = jnp.einsum("lkp,lfp->lfkp", w, g_r).reshape(L, F, K * P)
+    if _use_pallas():
+        from neural_graph_mapping_tpu.ops import permuto_pallas
 
-    def per_level_t(idx_l, w_l, g_l):
-        m_idx = idx_l.reshape(-1)  # (M,) with M = K*P
-        hi = (m_idx >> bits_lo).astype(jnp.int32)
-        lo = (m_idx & (n_lo - 1)).astype(jnp.int32)
-        # G[m, f] = w * g
-        gmat = (w_l.reshape(-1, 1) * jnp.repeat(g_l[None], K, axis=0).reshape(-1, F))
-        hi_oh = jax.nn.one_hot(hi, n_hi, dtype=gmat.dtype)  # (M, H)
-        lo_oh = jax.nn.one_hot(lo, n_lo, dtype=gmat.dtype)  # (M, Lo)
-        u = hi_oh[:, :, None] * gmat[:, None, :]  # (M, H, F)
-        out = jnp.einsum("ml,mhf->lhf", lo_oh, u)  # (Lo, H, F)
-        return out.transpose(1, 0, 2).reshape(n_hi * n_lo, F)[:T]
-
-    grad_table = jax.vmap(per_level_t)(idx, w, g)
+        grad_table = permuto_pallas.table_grad(idx.reshape(L, K * P), gv, T)
+    else:
+        grad_table = _table_grad_fallback(idx, gv, T)
     return grad_table, None, grad_w
 
 
 gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
-
-
-def make_elevation_scale(d: int) -> np.ndarray:
-    """Column normalization of the elevation basis E (times d+1 so the
-    effective lattice spacing matches the per-level scale)."""
-    import math
-
-    return np.asarray(
-        [1.0 / math.sqrt((i + 1) * (i + 2)) for i in range(d)], dtype=np.float32
-    ) * (d + 1)

@@ -30,15 +30,15 @@ class TestPermutohedral:
     def test_init_shapes_and_scale(self):
         enc = make_permuto(init_scale=1e-5)
         params = enc.init(jax.random.PRNGKey(0))
-        assert params["table"].shape == (4, 1024, 2)
+        assert params["table"].shape == (4, 2, 1024)  # (L, F, T) feature-major
         assert float(jnp.abs(params["table"]).max()) <= 1e-5
 
     def test_barycentric_weights_sum_to_one(self):
         enc = make_permuto()
         pts = jax.random.normal(jax.random.PRNGKey(1), (256, 3))
         idx, w = enc._lattice_keys_and_weights(pts)
-        assert idx.shape == (256, 4, 4) and w.shape == (256, 4, 4)
-        sums = np.asarray(jnp.sum(w, axis=-1))
+        assert idx.shape == (4, 4, 256) and w.shape == (4, 4, 256)
+        sums = np.asarray(jnp.sum(w, axis=1))  # sum over the d+1 corners
         np.testing.assert_allclose(sums, 1.0, atol=1e-4)
         assert np.asarray(w).min() >= -1e-4  # weights are (nearly) nonneg
         assert np.asarray(idx).min() >= 0 and np.asarray(idx).max() < 1024
@@ -66,7 +66,7 @@ class TestPermutohedral:
         enc = make_permuto()
         keys = jax.random.split(jax.random.PRNGKey(4), 3)
         stacked = jax.vmap(enc.init)(keys)
-        assert stacked["table"].shape == (3, 4, 1024, 2)
+        assert stacked["table"].shape == (3, 4, 2, 1024)
         pts = jax.random.normal(jax.random.PRNGKey(5), (3, 16, 3))
         out = jax.vmap(enc.apply)(stacked, pts)
         assert out.shape == (3, 16, 8)

@@ -1,0 +1,156 @@
+"""End-to-end engine tests on the synthetic dataset (CPU, tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_graph_mapping_tpu.datasets.synthetic import SyntheticDataset
+from neural_graph_mapping_tpu.mapping.engine import NeuralGraphMap
+
+
+def tiny_config(**overrides):
+    cfg = {
+        "model_kwargs": {
+            "dim_points": 3,
+            "field_type": "neural_graph_mapping_tpu.models.fields.NeuralField",
+            "field_kwargs": {
+                "encoding_type": "neural_graph_mapping_tpu.ops.encodings.PermutohedralEncoding",
+                "encoding_kwargs": {
+                    "pos_dim": 3,
+                    "log2_hashmap_size": 8,
+                    "nr_levels": 4,
+                    "nr_feat_per_level": 2,
+                    "coarsest_scale": 1.0,
+                    "finest_scale": 0.01,
+                    "init_scale": 1e-5,
+                },
+                "num_layers": 1,
+                "dim_out": 4,
+            },
+            "num_knn": 2,
+            "distance_factor": 10.0,
+            "field_radius": 1.0,
+            "scale_mode": "unit_cube",
+            "outside_value": 1.0,
+        },
+        "field_radius": 1.0,
+        "num_train_fields": 4,
+        "num_rays_per_field": 32,
+        "num_samples_coarse": 4,
+        "num_samples_depth_guided": 6,
+        "num_iterations_per_frame": 2,
+        "num_kf_slots": 32,
+        "max_new_fields": 64,
+        "geometry_mode": "nrgbd",
+        "geometry_factor": 20.0,
+        "truncation_distance": 0.1,
+        "learning_rate": 1e-3,
+        "adam_eps": 1e-15,
+        "adam_weight_decay": 1e-5,
+        "pixel_block_size": 512,
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def make_dataset(n=12):
+    ds = SyntheticDataset({"num_frames": n, "width": 40, "height": 30, "fx": 35.0, "fy": 35.0})
+    ds.load_slam_results()
+    return ds
+
+
+class TestEngineEndToEnd:
+    @pytest.fixture(scope="class")
+    def fitted(self):
+        ds = make_dataset(12)
+        ngm = NeuralGraphMap(tiny_config())
+        all_losses = []
+        for frame_id in range(len(ds)):
+            item = ds[frame_id]
+            losses = ngm.process_frame(ds, frame_id, jnp.asarray(item["rgbd"]))
+            if losses:
+                all_losses.append(losses)
+        return ds, ngm, all_losses
+
+    def test_fields_allocated(self, fitted):
+        _, ngm, _ = fitted
+        assert ngm.num_fields > 0
+        assert ngm.capacity >= ngm.num_fields
+        # fields live inside the room
+        pos = np.asarray(ngm._map_arrays.positions[: ngm.num_fields])
+        assert np.abs(pos).max() < 5.0  # room_half + grid cell + shift
+
+    def test_losses_finite(self, fitted):
+        _, _, losses = fitted
+        assert len(losses) > 0
+        for d in losses:
+            for k, v in d.items():
+                assert np.isfinite(v), f"{k} is not finite"
+
+    def test_training_iterations_recorded(self, fitted):
+        _, ngm, _ = fitted
+        ti = np.asarray(ngm._map_arrays.training_iterations[: ngm.num_fields])
+        assert ti.sum() > 0
+
+    def test_keyframe_cache_populated(self, fitted):
+        _, ngm, _ = fitted
+        assert ngm._cache_valid_np[0]  # current frame slot
+        assert ngm._cache_valid_np.sum() >= 2
+
+    def test_kf2fields_index(self, fitted):
+        _, ngm, _ = fitted
+        all_ids = set()
+        for ids in ngm._kf2fields.values():
+            all_ids |= ids
+        assert all_ids == set(range(ngm.num_fields))
+
+    def test_render_image(self, fitted):
+        ds, ngm, _ = fitted
+        cam = ds.camera.scaled_camera(0.5)
+        rgbd, dvars = ngm.render_image(jnp.asarray(ds.gt_c2ws[0]), cam)
+        assert rgbd.shape == (cam.height, cam.width, 4)
+        assert bool(jnp.isfinite(rgbd).all())
+        assert bool(jnp.isfinite(dvars).all())
+
+    def test_throughput_accounting(self, fitted):
+        _, ngm, _ = fitted
+        assert ngm.fps_estimate > 0
+        assert ngm.spf_estimate > 0
+
+
+class TestEngineGrowth:
+    def test_capacity_grows(self):
+        ds = make_dataset(6)
+        ngm = NeuralGraphMap(tiny_config(max_new_fields=64))
+        for frame_id in range(len(ds)):
+            item = ds[frame_id]
+            ngm.process_frame(ds, frame_id, jnp.asarray(item["rgbd"]))
+        # adam state tracks capacity
+        assert ngm._adam.steps.shape[0] == ngm.capacity
+        assert ngm._params["w0"].shape[0] == ngm.capacity
+
+
+class TestLoopClosureReanchoring:
+    def test_field_poses_follow_keyframe_deformation(self):
+        """When keyframe poses shift, anchored fields shift rigidly with them."""
+        ds = make_dataset(8)
+        ngm = NeuralGraphMap(tiny_config())
+        for frame_id in range(6):
+            item = ds[frame_id]
+            ngm.process_frame(ds, frame_id, jnp.asarray(item["rgbd"]))
+        assert ngm.num_fields > 0
+        before = np.asarray(ngm._map_arrays.positions[: ngm.num_fields]).copy()
+
+        # simulate a loop closure: translate every keyframe pose by +1 in x
+        shift = np.eye(4, dtype=np.float32)
+        shift[0, 3] = 1.0
+        prev = ngm._prev_kf2w_slots.copy()
+        new = shift[None] @ prev
+        from neural_graph_mapping_tpu.mapping.engine import reanchor_jit
+
+        ngm._map_arrays = reanchor_jit(
+            ngm._map_arrays, jnp.asarray(prev), jnp.asarray(new)
+        )
+        after = np.asarray(ngm._map_arrays.positions[: ngm.num_fields])
+        np.testing.assert_allclose(after - before, [[1.0, 0.0, 0.0]] * len(before), atol=1e-4)
