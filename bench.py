@@ -1,0 +1,132 @@
+"""Benchmark: online mapping optimization throughput (rays/sec/chip).
+
+Runs the engine's fused optimization iteration (field selection -> multi-view
+target sampling -> render -> losses -> per-field Adam) at the reference
+workload constants (BASELINE.md: 32 fields x 512 rays x (8+16) samples,
+16-level 2^12 permutohedral tables) on synthetic data, and reports rays/sec.
+
+Baseline for vs_baseline: 2,457,600 rays/s = the sensor-rate (30 fps) target
+derived in BASELINE.md (5 iters/frame x 16,384 rays/iter x 30 fps). The
+reference publishes no in-repo numbers (BASELINE.json "published": {}); its
+measured fps on a desktop GPU is in the 2-10 fps range, i.e. well below 1.0
+on this scale.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_RAYS_PER_SEC = 2_457_600.0  # 30 fps sensor-rate mapping (BASELINE.md)
+
+
+def build_engine():
+    from neural_graph_mapping_tpu.datasets.synthetic import SyntheticDataset
+    from neural_graph_mapping_tpu.mapping.engine import NeuralGraphMap
+
+    ds = SyntheticDataset(
+        {"num_frames": 20, "width": 320, "height": 240, "fx": 280.0, "fy": 280.0,
+         "orbit_radius": 2.5}
+    )
+    ds.load_slam_results()
+
+    config = {
+        "model_kwargs": {
+            "dim_points": 3,
+            "field_type": "neural_graph_mapping_tpu.models.fields.NeuralField",
+            "field_kwargs": {
+                "encoding_type": (
+                    "neural_graph_mapping_tpu.ops.encodings.PermutohedralEncoding"
+                ),
+                "encoding_kwargs": {
+                    "pos_dim": 3, "log2_hashmap_size": 12, "nr_levels": 16,
+                    "nr_feat_per_level": 2, "coarsest_scale": 1.0,
+                    "finest_scale": 1e-4, "init_scale": 1e-5,
+                },
+                "num_layers": 1, "dim_out": 4,
+            },
+            "num_knn": 2, "distance_factor": 10.0, "field_radius": 1.0,
+            "scale_mode": "unit_cube", "outside_value": 1.0,
+        },
+        "field_radius": 1.0,
+        "num_train_fields": 32,
+        "num_rays_per_field": 512,
+        "num_samples_coarse": 8,
+        "num_samples_depth_guided": 16,
+        "num_iterations_per_frame": 5,
+        "num_kf_slots": 256,
+        "max_new_fields": 256,
+        "geometry_mode": "nrgbd",
+        "geometry_factor": 20.0,
+        "truncation_distance": 0.1,
+        "learning_rate": 1e-3,
+        "adam_eps": 1e-15,
+        "adam_weight_decay": 1e-5,
+    }
+    ngm = NeuralGraphMap(config)
+    # warm up the map: ingest frames so fields/caches are realistic
+    for fid in range(len(ds)):
+        ngm.process_frame(ds, fid, jnp.asarray(ds[fid]["rgbd"]))
+    return ds, ngm
+
+
+def main():
+    from neural_graph_mapping_tpu.mapping.engine import optimization_iteration
+
+    ds, ngm = build_engine()
+    allocated = ngm._allocated_mask()
+    cache_c2w = jnp.asarray(ngm._cache_c2w_np)
+    cache_valid = jnp.asarray(ngm._cache_valid_np)
+
+    def one_iter(params, adam, ti, key):
+        return optimization_iteration(
+            ngm._fset, ngm._camera, ngm._rcfg, ngm._ocfg, ngm._loss_cfg,
+            ngm._num_train_fields,
+            params, adam, ti,
+            ngm._map_arrays.positions, ngm._map_arrays.orientations,
+            allocated, ngm._observed_mask,
+            ngm._cache_rgb, ngm._cache_depth, cache_c2w, cache_valid,
+            key,
+        )
+
+    params, adam, ti = ngm._params, ngm._adam, ngm._map_arrays.training_iterations
+    key = jax.random.PRNGKey(7)
+
+    # warmup (already compiled during ingest, but make sure)
+    key, sub = jax.random.split(key)
+    params, adam, ti, _ = one_iter(params, adam, ti, sub)
+    jax.block_until_ready(params["w0"])
+
+    iters = 50
+    t0 = time.time()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        params, adam, ti, loss = one_iter(params, adam, ti, sub)
+    jax.block_until_ready(params["w0"])
+    dt = time.time() - t0
+
+    rays_per_iter = ngm._num_train_fields * ngm._loss_cfg.num_rays_per_field
+    rays_per_sec = iters * rays_per_iter / dt
+    result = {
+        "metric": "mapping_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
