@@ -57,10 +57,21 @@ def _deep_merge(base: dict, override: dict) -> dict:
     return out
 
 
+def _expand_env(x: Any) -> Any:
+    """Recursively expand ${VAR} in string values (used for data roots)."""
+    if isinstance(x, dict):
+        return {k: _expand_env(v) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_expand_env(v) for v in x]
+    if isinstance(x, str):
+        return os.path.expandvars(x)
+    return x
+
+
 def _load_file(path: str, search_paths: Optional[Iterable[str]]) -> dict:
     resolved = resolve_path(path, search_paths)
     with open(resolved) as f:
-        data = yaml.safe_load(f) or {}
+        data = _expand_env(yaml.safe_load(f) or {})
     # a file may pull in parent configs via a `config` key; parents first
     file_dir = os.path.dirname(resolved)
     local_search = [file_dir] + list(search_paths or DEFAULT_SEARCH_PATHS)

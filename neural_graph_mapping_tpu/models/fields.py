@@ -55,6 +55,8 @@ class NeuralField:
         initial_geometry_bias: float = 0.0,
         neus_initial_sd: Optional[float] = None,
     ) -> None:
+        if skip_mode is False:  # YAML 1.1 parses bare `no` as boolean
+            skip_mode = "no"
         if skip_mode not in ("no", "add", "concat", "rezero"):
             raise ValueError(f"Skip mode {skip_mode} is not available.")
         enc_cls = str_to_object(encoding_type) if isinstance(encoding_type, str) else encoding_type
