@@ -83,17 +83,18 @@ def build_engine():
 
 
 def main():
-    from neural_graph_mapping_tpu.mapping.engine import optimization_iteration
+    from neural_graph_mapping_tpu.mapping.engine import optimization_iterations_scan
 
     ds, ngm = build_engine()
     allocated = ngm._allocated_mask()
     cache_c2w = jnp.asarray(ngm._cache_c2w_np)
     cache_valid = jnp.asarray(ngm._cache_valid_np)
+    iters_per_frame = ngm._num_iterations_per_frame
 
-    def one_iter(params, adam, ti, key):
-        return optimization_iteration(
+    def one_frame(params, adam, ti, key):
+        return optimization_iterations_scan(
             ngm._fset, ngm._camera, ngm._rcfg, ngm._ocfg, ngm._loss_cfg,
-            ngm._num_train_fields,
+            ngm._num_train_fields, iters_per_frame,
             params, adam, ti,
             ngm._map_arrays.positions, ngm._map_arrays.orientations,
             allocated, ngm._observed_mask,
@@ -106,19 +107,19 @@ def main():
 
     # warmup (already compiled during ingest, but make sure)
     key, sub = jax.random.split(key)
-    params, adam, ti, _ = one_iter(params, adam, ti, sub)
+    params, adam, ti, _ = one_frame(params, adam, ti, sub)
     jax.block_until_ready(params["w0"])
 
-    iters = 50
+    frames = 20
     t0 = time.time()
-    for _ in range(iters):
+    for _ in range(frames):
         key, sub = jax.random.split(key)
-        params, adam, ti, loss = one_iter(params, adam, ti, sub)
+        params, adam, ti, loss = one_frame(params, adam, ti, sub)
     jax.block_until_ready(params["w0"])
     dt = time.time() - t0
 
     rays_per_iter = ngm._num_train_fields * ngm._loss_cfg.num_rays_per_field
-    rays_per_sec = iters * rays_per_iter / dt
+    rays_per_sec = frames * iters_per_frame * rays_per_iter / dt
     result = {
         "metric": "mapping_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),

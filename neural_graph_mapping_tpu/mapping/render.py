@@ -113,16 +113,17 @@ def render_rays_vmap(
         points_cam, target.c2ws[..., None, :, :]
     )
 
-    # world -> local + eval, vmapped over fields
-    outs = fset.apply_vmap(
+    # world -> local + eval, vmapped over fields; feature-major (F, 4, R*S)
+    # so points stay in the TPU lane dimension through encoding + MLP
+    outs = fset.apply_vmap_fm(
         sub_params,
         points_world.reshape(f, r * s, 3),
         field_positions,
         field_orientations,
-    ).reshape(f, r, s, -1)
+    )
 
-    sample_colors = cfg.color_factor * outs[..., :3]
-    sample_geometries = outs[..., 3]
+    sample_colors = cfg.color_factor * outs[:, :3, :].reshape(f, 3, r, s)
+    sample_geometries = outs[:, 3, :].reshape(f, r, s)
     sample_depths = -points_cam[..., 2]
 
     # behind-camera samples forced to empty space (run_mapping.py:614-622);
@@ -141,7 +142,7 @@ def render_rays_vmap(
     if cfg.geometry_mode == "neus":
         neus_isds = 1.0 / jnp.abs(sub_params["neus_sd"]).reshape(f, 1, 1)
 
-    q = quadrature.quadrature(
+    q = quadrature.quadrature_fm(
         cfg.geometry_mode,
         sample_colors,
         sample_geometries,
@@ -151,9 +152,12 @@ def render_rays_vmap(
         neus_isds=neus_isds,
     )
 
+    # per-ray outputs are tiny (F*R); converting to channels-last here is
+    # negligible and keeps the loss code identical to the reference's shapes
+    colors_cl = q.colors.transpose(0, 2, 1)  # (F, R, 3)
     return Prediction(
-        rgbds=jnp.concatenate([q.colors, q.depths[..., None]], axis=-1),
-        color_vars=q.color_vars,
+        rgbds=jnp.concatenate([colors_cl, q.depths[..., None]], axis=-1),
+        color_vars=q.color_vars.transpose(0, 2, 1),
         depth_vars=q.depth_vars,
         term_probs=q.term_probs,
         sample_geometries=sample_geometries,

@@ -102,6 +102,53 @@ class NeuralField:
         params = self.init(jax.random.PRNGKey(0))
         return int(sum(np.prod(p.shape) for p in params.values()))
 
+    def apply_fm(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        """Feature-major evaluate: local points (P, pos_dim) -> (dim_out, P).
+
+        The training hot path: activations stay (channels, points) with
+        points in the TPU lane dimension; linear layers contract the channel
+        axis (``dot_general`` with the stored (din, dout) weights, no
+        transposes). Requires the encoding to provide ``apply_fm``.
+        """
+        enc_params = {
+            k.split(".", 1)[1]: v for k, v in params.items() if k.startswith("enc.")
+        }
+        outs_encoding = outs = self.encoding.apply_fm(enc_params, points)  # (D, P)
+        num_linears = len(self.dims_in)
+        for i in range(num_linears):
+            prev_outs = outs
+            # w (din, dout): contract din with the channel axis -> (dout, P)
+            outs = jax.lax.dot_general(
+                params[f"w{i}"], outs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + params[f"b{i}"][:, None]
+            if i == self.num_layers:
+                break
+            outs = jnp.maximum(outs, 0.0)
+            if self.skip_mode == "concat":
+                outs = jnp.concatenate([outs, outs_encoding], axis=0)
+            elif self.skip_mode == "add":
+                outs = jnp.concatenate(
+                    [
+                        outs[: self.dim_encoding] + outs_encoding,
+                        outs[self.dim_encoding :],
+                    ],
+                    axis=0,
+                )
+            elif self.skip_mode == "rezero":
+                rz = params["rezero"][i]
+                if i == 0:
+                    outs = jnp.concatenate(
+                        [
+                            rz * outs[: self.dim_encoding] + prev_outs,
+                            rz * outs[self.dim_encoding :],
+                        ],
+                        axis=0,
+                    )
+                else:
+                    outs = rz * outs + prev_outs
+        return outs
+
     def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
         """Evaluate the field at local-frame points (..., pos_dim) -> (..., dim_out)."""
         enc_params = {
@@ -236,6 +283,25 @@ class NeuralFieldSet:
         return self._scale_local_points(local)
 
     # -- evaluation paths --------------------------------------------------------
+
+    def apply_vmap_fm(
+        self,
+        vmap_params: Params,
+        query_points: jnp.ndarray,
+        field_positions: Optional[jnp.ndarray] = None,
+        field_orientations: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Feature-major field-parallel evaluation: (F, P, 3) world points ->
+        (F, dim_out, P). The training hot path (see apply_fm)."""
+        if field_positions is not None:
+            local = self.world_to_local(
+                query_points,
+                field_positions[:, None, :],
+                field_orientations[:, None, :],
+            )
+        else:
+            local = self._scale_local_points(query_points)
+        return jax.vmap(self.prototype.apply_fm)(vmap_params, local)
 
     def apply_vmap(
         self,

@@ -130,17 +130,29 @@ class PermutohedralEncoding:
             self.capacity,
         )
 
+    def apply_fm(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        """Feature-major encode: points (P, d) -> (out_dim, P).
+
+        The hot path: every tensor keeps points in the minor (lane) dimension
+        end to end (lattice math, hash gather, blend), which is the layout
+        the TPU wants; the generic channels-last :meth:`apply` wraps this
+        with an edge transpose.
+        """
+        table = params["table"]  # (L, F, T) feature-major
+        idx, w = self._lattice_keys_and_weights(points)  # (L, K, P)
+        out = permuto.gather_blend(table, idx, w)  # (L*F, P)
+        if self.concat_points:
+            out = jnp.concatenate(
+                [out, self.concat_points_scaling * points.T], axis=0
+            )
+        return out
+
     def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
         """Encode points (..., d) -> (..., nr_levels * nr_feat_per_level [+ d])."""
-        table = params["table"]  # (L, F, T) feature-major
         lead = points.shape[:-1]
         flat = points.reshape(-1, self.pos_dim)
-        idx, w = self._lattice_keys_and_weights(flat)  # (L, K, P)
-        out = permuto.gather_blend(table, idx, w)  # (P, L*F)
-        out = out.reshape(lead + (self.nr_levels * self.nr_feat_per_level,))
-        if self.concat_points:
-            out = jnp.concatenate([out, self.concat_points_scaling * points], axis=-1)
-        return out
+        out = self.apply_fm(params, flat).T  # edge transpose for generic API
+        return out.reshape(lead + (self.get_out_dim(),))
 
 
 class TriplaneEncoding:

@@ -139,8 +139,26 @@ def lattice_keys_and_weights(
 # ---------------------------------------------------------------------------
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _gathered_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table (L, F, T), idx (L, K, P) -> feats (L, F, K, P)."""
+    """table (L, F, T), idx (L, K, P) -> feats (L, F, K, P).
+
+    On TPU uses the Pallas one-hot-matmul lookup kernel — XLA's native gather
+    for 2-float rows measures ~295 ms at the training shape vs ~1-2 ms for
+    the kernel (see ops/permuto_pallas.py).
+    """
+    l, k, p = idx.shape
+    if _use_pallas():
+        from neural_graph_mapping_tpu.ops import permuto_pallas
+
+        feats = permuto_pallas.gather_pairs(table, idx.reshape(l, k * p))
+        return feats.reshape(l, 2, k, p)
 
     def per_level(tab_l, idx_l):  # (F, T), (K, P)
         return jnp.take(tab_l, idx_l, axis=1)  # (F, K, P)
@@ -152,12 +170,12 @@ def _blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     feats = _gathered_feats(table, idx)  # (L, F, K, P)
     out = jnp.einsum("lfkp,lkp->lfp", feats, w)  # (L, F, P)
     l, f, p = out.shape
-    return out.reshape(l * f, p).T  # (P, L*F), one transpose with big minor dims
+    return out.reshape(l * f, p)  # feature-major: no transpose anywhere
 
 
 @jax.custom_vjp
 def gather_blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """out[p, l*F + f] = sum_k table[l, f, idx[l, k, p]] * w[l, k, p].
+    """out[l*F + f, p] = sum_k table[l, f, idx[l, k, p]] * w[l, k, p].
 
     Args:
         table: (L, F, T) feature-major hash tables.
@@ -165,7 +183,8 @@ def gather_blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
         w: (L, K, P) barycentric blend weights.
 
     Returns:
-        (P, L*F) blended features (ready to feed the field MLP).
+        (L*F, P) blended features, feature-MAJOR (points stay in the minor
+        dimension through the whole field MLP — see ops/permuto.py docstring).
     """
     return _blend(table, idx, w)
 
@@ -188,23 +207,16 @@ def _table_grad_fallback(idx, gv, table_size):
     return jax.vmap(per_level)(idx.reshape(l, m), gv)
 
 
-def _use_pallas() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
-
-
 def _gather_blend_bwd(res, g):
     table, idx, w = res
     L, F, T = table.shape
     _, K, P = idx.shape
 
-    # cotangent g: (P, L*F) -> (L, F, P) with one large-minor transpose
-    g_r = g.T.reshape(L, F, P)
+    # cotangent g arrives feature-major (L*F, P): reshape only, no transpose
+    g_r = g.reshape(L, F, P)
 
     # grad wrt w (exact): dw[l,k,p] = sum_f table[l, f, idx[l,k,p]] * g[l,f,p]
-    feats = _gathered_feats(table, idx)  # (L, F, K, P)
+    feats = _gathered_feats(table, idx)  # (L, F, K, P), recomputed (cheap)
     grad_w = jnp.einsum("lfkp,lfp->lkp", feats, g_r)
 
     # grad wrt table: histogram of gv = w * g over the hash indices.

@@ -43,6 +43,88 @@ N_LO = 1 << BITS_LO  # 64
 TILE_M = 2048
 
 
+def _gather_kernel(tab_ref, idx_ref, out_ref, *, n_hi: int, num_tiles: int):
+    """Hash-table lookup as decomposed one-hot matmuls (one (field, level)
+    pair per grid step).
+
+    feats[m, f] = table_f[hi_m, lo_m]
+               = sum_hi sum_lo table_f[hi, lo] * [hi == hi_m] * [lo == lo_m]
+               = sum_hi [hi == hi_m] * (table_f @ lo_oh)[hi, m]
+
+    i.e. one (n_hi, N_LO) x (N_LO, TILE_M) MXU matmul per feature per tile
+    plus a masked sublane reduction. XLA's native gather for these tiny
+    2-float rows measures ~295 ms at the training shape; this kernel's MXU
+    work is ~0.4 TMACs total (~1-2 ms).
+
+    tab_ref: (1, 2, n_hi, N_LO) f32 (table reshaped, t = hi * N_LO + lo).
+    idx_ref: (1, num_tiles, TILE_M) int32.
+    out_ref: (1, 2, num_tiles, TILE_M) f32 gathered features.
+    """
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, TILE_M), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
+    tab0 = tab_ref[0, 0]
+    tab1 = tab_ref[0, 1]
+
+    def body(t, _):
+        idx = idx_ref[0, t, :].reshape(1, TILE_M)
+        hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
+        lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+        u0 = jax.lax.dot_general(tab0, lo_oh, dn, preferred_element_type=jnp.float32)
+        u1 = jax.lax.dot_general(tab1, lo_oh, dn, preferred_element_type=jnp.float32)
+        out_ref[0, 0, pl.ds(t, 1), :] = jnp.sum(hi_oh * u0, axis=0, keepdims=True)
+        out_ref[0, 1, pl.ds(t, 1), :] = jnp.sum(hi_oh * u1, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def gather_pairs(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched hash-table lookup: table (..., 2, T), idx (..., M) ->
+    feats (..., 2, M). Leading dims are flattened into the kernel grid."""
+    assert table.shape[-2] == 2, "kernel specialized to 2 features/level"
+    t_size = table.shape[-1]
+    lead = idx.shape[:-1]
+    m = idx.shape[-1]
+    b = 1
+    for s in lead:
+        b *= s
+    n_hi = t_size // N_LO
+
+    num_tiles = (m + TILE_M - 1) // TILE_M
+    pad = num_tiles * TILE_M - m
+    idx_f = idx.reshape(b, m)
+    if pad:
+        idx_f = jnp.concatenate([idx_f, jnp.zeros((b, pad), idx.dtype)], axis=-1)
+    idx_f = idx_f.reshape(b, num_tiles, TILE_M)
+    tab_f = table.reshape(b, 2, n_hi, N_LO)
+
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, n_hi=n_hi, num_tiles=num_tiles),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, n_hi, N_LO), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, num_tiles, TILE_M), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, num_tiles, TILE_M), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2, num_tiles, TILE_M), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * num_tiles * TILE_M * t_size * 2,
+            bytes_accessed=b * (num_tiles * TILE_M * 12 + t_size * 8),
+            transcendentals=0,
+        ),
+    )(tab_f, idx_f)
+
+    return out.reshape(b, 2, num_tiles * TILE_M)[:, :, :m].reshape(lead + (2, m))
+
+
 def _table_grad_kernel(idx_ref, gv_ref, out_ref, *, n_hi: int, num_tiles: int):
     """One grid step = one (field, level) pair.
 

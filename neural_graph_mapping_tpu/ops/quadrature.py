@@ -112,3 +112,54 @@ def quadrature(
         term_probs=1.0 - bg_weight,
         sample_weights=weights,
     )
+
+
+class QuadratureResultFM(NamedTuple):
+    colors: jnp.ndarray  # (F, 3, R) channel-major expected ray colors
+    depths: jnp.ndarray  # (F, R)
+    color_vars: jnp.ndarray  # (F, 3, R)
+    depth_vars: jnp.ndarray  # (F, R)
+    term_probs: jnp.ndarray  # (F, R)
+
+
+def quadrature_fm(
+    geometry_mode: str,
+    sample_colors: jnp.ndarray,  # (F, 3, R, S) channel-major
+    sample_geometries: jnp.ndarray,  # (F, R, S)
+    sample_distances: jnp.ndarray,  # (F, R, S)
+    sample_depths: jnp.ndarray,  # (F, R, S)
+    geometry_factor: float = 1.0,
+    neus_isds: Optional[jnp.ndarray] = None,
+) -> QuadratureResultFM:
+    """Channel-major variant of :func:`quadrature` for the training hot path:
+    colors keep channels on a MAJOR axis so no tensor ever has a tiny minor
+    dimension (TPU lane utilization)."""
+    occ, drops_last = occupancy_probs(
+        geometry_mode, sample_geometries, sample_distances, geometry_factor, neus_isds
+    )
+    lead = occ.shape[:-1]
+    non_term = jnp.concatenate(
+        [jnp.ones(lead + (1,), occ.dtype), jnp.cumprod(1.0 - occ[..., :-1], axis=-1)],
+        axis=-1,
+    )
+    weights = occ * non_term
+    bg_weight = 1.0 - jnp.sum(weights, axis=-1)
+
+    last = -1 if drops_last else None
+    colors = jnp.einsum("fcrs,frs->fcr", sample_colors[..., :last], weights)
+    depths = jnp.sum(sample_depths[..., :last] * weights, axis=-1)
+    color_vars = jnp.einsum(
+        "fcrs,frs->fcr",
+        (colors[..., None] - sample_colors[..., :last]) ** 2,
+        weights,
+    )
+    depth_vars = jnp.sum(
+        weights * (depths[..., None] - sample_depths[..., :last]) ** 2, axis=-1
+    )
+    return QuadratureResultFM(
+        colors=colors,
+        depths=depths,
+        color_vars=color_vars,
+        depth_vars=depth_vars,
+        term_probs=1.0 - bg_weight,
+    )
