@@ -160,6 +160,89 @@ def optimization_iterations_scan(
     return params, adam, ti, last_losses
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fset", "camera", "rcfg", "ocfg", "loss_cfg", "num_train_fields", "num_iters"
+    ),
+    donate_argnames=("params", "adam"),
+)
+def optimization_iterations_scan_sv(
+    fset: NeuralFieldSet,
+    camera,
+    rcfg: render.RenderConfig,
+    ocfg: optimizer.AdamConfig,
+    loss_cfg: "LossConfig",
+    num_train_fields: int,
+    num_iters: int,
+    params,
+    adam: optimizer.AdamState,
+    training_iterations: jnp.ndarray,
+    map_positions: jnp.ndarray,
+    map_orientations: jnp.ndarray,
+    active_mask: jnp.ndarray,  # BFS-active fields (run_mapping.py:817-825)
+    cache_rgb: jnp.ndarray,
+    cache_depth: jnp.ndarray,
+    cache_c2w: jnp.ndarray,
+    cache_valid: jnp.ndarray,
+    key: jax.Array,
+):
+    """Single-view per-frame optimization (update_mode="single_view"):
+    iterations alternate between the current frame (cache slot 0) and a random
+    cached keyframe (run_mapping.py:1126-1149), sampling targets by
+    intersecting the view's depth cloud with active field spheres
+    (_sample_target_sv, run_mapping.py:1463-1583). One fused lax.scan."""
+
+    def body(carry, inp):
+        params, adam, ti = carry
+        sub_key, iter_idx = inp
+        k_slot, k_target, k_render = jax.random.split(sub_key, 3)
+
+        # odd iterations: current frame (slot 0, if valid); even: random kf
+        kf_logits = jnp.where(cache_valid.at[0].set(False), 0.0, -jnp.inf)
+        random_slot = jax.random.categorical(k_slot, kf_logits)
+        use_current = (iter_idx % 2 != 0) & cache_valid[0]
+        slot = jnp.where(use_current, 0, random_slot)
+
+        rgbd = jnp.concatenate(
+            [cache_rgb[slot].astype(jnp.float32), cache_depth[slot][..., None]],
+            axis=-1,
+        )
+        c2w = cache_c2w[slot]
+
+        target = sampling.sample_target_sv(
+            k_target, camera, rgbd, c2w, map_positions, active_mask,
+            fset.field_radius, num_train_fields, loss_cfg.num_rays_per_field,
+        )
+
+        sub_positions = map_positions[target.field_ids]
+        sub_orientations = map_orientations[target.field_ids]
+        sub_params = fset.gather_fields(params, target.field_ids)
+
+        def loss_fn(sp):
+            pred = render.render_rays_vmap(
+                fset, sp, sub_positions, sub_orientations, camera, target,
+                k_render, rcfg,
+            )
+            return compute_losses(loss_cfg, rcfg, target, pred)
+
+        (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(sub_params)
+        new_params, new_adam = optimizer.adam_slice_update(
+            ocfg, params, adam, target.field_ids, target.field_valid, grads, sub_params
+        )
+        new_ti = ti.at[target.field_ids].add(target.field_valid.astype(ti.dtype))
+        return (new_params, new_adam, new_ti), loss_dict
+
+    keys = jax.random.split(key, num_iters)
+    (params, adam, ti), loss_dicts = jax.lax.scan(
+        body,
+        (params, adam, training_iterations),
+        (keys, jnp.arange(num_iters)),
+    )
+    last_losses = jax.tree_util.tree_map(lambda x: x[-1], loss_dicts)
+    return params, adam, ti, last_losses
+
+
 class LossConfig:
     """Static loss hyperparameters (hashable for jit static args)."""
 
@@ -611,7 +694,39 @@ class NeuralGraphMap:
             self._observed_mask = jnp.zeros((self.capacity,), bool)
 
         loss_dict = {}
-        if self._num_fields > 0:
+        if self._num_fields > 0 and self._update_mode == "single_view":
+            active_ids = self._active_field_ids(frame_id)
+            active_mask_np = np.zeros((self.capacity,), bool)
+            active_mask_np[active_ids] = True
+            (
+                self._params,
+                self._adam,
+                new_ti,
+                loss_dict,
+            ) = optimization_iterations_scan_sv(
+                self._fset,
+                self._camera,
+                self._rcfg,
+                self._ocfg,
+                self._loss_cfg,
+                self._num_train_fields,
+                self._num_iterations_per_frame,
+                self._params,
+                self._adam,
+                self._map_arrays.training_iterations,
+                self._map_arrays.positions,
+                self._map_arrays.orientations,
+                jnp.asarray(active_mask_np),
+                self._cache_rgb,
+                self._cache_depth,
+                cache_c2w,
+                cache_valid,
+                self._next_key(),
+            )
+            self._map_arrays = self._map_arrays._replace(training_iterations=new_ti)
+            if log_fn is not None:
+                log_fn(loss_dict)
+        elif self._num_fields > 0:
             (
                 self._params,
                 self._adam,

@@ -1,0 +1,60 @@
+"""Chunked evaluation of large point batches (OOM avoidance).
+
+Rebuild of the reference ``utils.batched_evaluation`` (utils.py:220-251):
+split a big input along its first axis into fixed-size blocks, run the model
+per block, and concatenate. On TPU the block size is also what keeps the
+jitted program's shapes static — inputs are padded to a whole number of
+blocks so every block reuses one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+def batched_evaluation(
+    model: Callable,
+    inputs: jnp.ndarray,
+    block_size: int,
+    progressbar: bool = False,
+) -> Union[jnp.ndarray, Tuple]:
+    """Evaluate ``model`` over ``inputs`` in blocks along axis 0.
+
+    Unlike the reference, the last block is PADDED to ``block_size`` (and the
+    padding stripped from the outputs) so only one program is compiled.
+    """
+    n = inputs.shape[0]
+    pad = (-n) % block_size
+    if pad:
+        inputs = jnp.concatenate(
+            [inputs, jnp.zeros((pad,) + inputs.shape[1:], inputs.dtype)], axis=0
+        )
+    blocks = range(0, n + pad, block_size)
+    if progressbar:
+        try:
+            import tqdm
+
+            blocks = tqdm.tqdm(list(blocks))
+        except ImportError:
+            pass
+
+    outs = [model(inputs[s : s + block_size]) for s in blocks]
+
+    if isinstance(outs[0], tuple):
+        return tuple(
+            jnp.concatenate(parts)[:n] if hasattr(parts[0], "shape") else parts
+            for parts in zip(*outs)
+        )
+    return jnp.concatenate(outs)[:n]
+
+
+def save_image(img, file_path) -> None:
+    """Save an (H, W, 3) [0, 1] array as a PNG (reference utils.py:208-217)."""
+    import numpy as np
+    import PIL.Image
+
+    arr = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+    PIL.Image.fromarray(arr).save(file_path)

@@ -154,3 +154,17 @@ class TestLoopClosureReanchoring:
         )
         after = np.asarray(ngm._map_arrays.positions[: ngm.num_fields])
         np.testing.assert_allclose(after - before, [[1.0, 0.0, 0.0]] * len(before), atol=1e-4)
+
+
+class TestSingleViewMode:
+    def test_single_view_update_runs(self):
+        ds = make_dataset(8)
+        ngm = NeuralGraphMap(tiny_config(update_mode="single_view"))
+        losses = {}
+        for frame_id in range(len(ds)):
+            item = ds[frame_id]
+            losses = ngm.process_frame(ds, frame_id, jnp.asarray(item["rgbd"]))
+        assert ngm.num_fields > 0
+        assert losses and all(np.isfinite(v) for v in losses.values())
+        ti = np.asarray(ngm._map_arrays.training_iterations[: ngm.num_fields])
+        assert ti.sum() > 0
