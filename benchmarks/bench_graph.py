@@ -1,6 +1,10 @@
 """Pose-graph BFS micro-benchmark (rebuild of reference graph.py:72-101)."""
+import pathlib
 import random
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from neural_graph_mapping_tpu.mapping import graph
 
