@@ -163,6 +163,75 @@ def optimization_iterations_scan(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "fset", "camera", "rcfg", "ocfg", "loss_cfg", "num_train_fields",
+        "num_iters", "write_current", "has_fields",
+    ),
+    donate_argnames=("params", "adam", "cache_rgb", "cache_depth"),
+)
+def frame_step(
+    fset: NeuralFieldSet,
+    camera,
+    rcfg: render.RenderConfig,
+    ocfg: optimizer.AdamConfig,
+    loss_cfg: "LossConfig",
+    num_train_fields: int,
+    num_iters: int,
+    write_current: bool,
+    has_fields: bool,
+    params,
+    adam: optimizer.AdamState,
+    training_iterations: jnp.ndarray,
+    map_positions: jnp.ndarray,
+    map_orientations: jnp.ndarray,
+    allocated_mask: jnp.ndarray,
+    cache_rgb: jnp.ndarray,
+    cache_depth: jnp.ndarray,
+    cache_c2w: jnp.ndarray,
+    cache_valid: jnp.ndarray,
+    rgbd: jnp.ndarray,  # (H, W, 4) current frame
+    c2w: jnp.ndarray,  # (4, 4)
+    kf_slot: jnp.ndarray,  # scalar int32; < 0 -> not a keyframe
+    base_key: jax.Array,
+    step: jnp.ndarray,  # scalar int32 frame counter (key = fold_in(base, step))
+):
+    """One fused device program per frame: keyframe-cache writes, the
+    observed-field test, and all optimization iterations. Collapses what used
+    to be ~6 separate dispatches (each paying ~25 ms of relay overhead) into
+    one (the ingest half of _update_slam_state, run_mapping.py:1599-1640,
+    plus the iteration loop :1232-1241). PRNG keys derive on-device from a
+    base key + frame counter so the host never dispatches random.split."""
+    key = jax.random.fold_in(base_key, step)
+    k_obs, k_opt = jax.random.split(key)
+
+    rgb = rgbd[..., :3].astype(cache_rgb.dtype)
+    depth = rgbd[..., 3]
+    if write_current:
+        cache_rgb = cache_rgb.at[0].set(rgb)
+        cache_depth = cache_depth.at[0].set(depth)
+    # keyframe slot write (no-op when kf_slot < 0 via drop semantics)
+    safe_slot = jnp.where(kf_slot >= 0, kf_slot, cache_rgb.shape[0])
+    cache_rgb = cache_rgb.at[safe_slot].set(rgb, mode="drop")
+    cache_depth = cache_depth.at[safe_slot].set(depth, mode="drop")
+
+    observed = sampling.observed_fields_mask(
+        k_obs, camera, depth, c2w, map_positions, allocated_mask, fset.field_radius
+    )
+
+    if has_fields:
+        params, adam, training_iterations, loss_dict = optimization_iterations_scan(
+            fset, camera, rcfg, ocfg, loss_cfg, num_train_fields, num_iters,
+            params, adam, training_iterations, map_positions, map_orientations,
+            allocated_mask, observed, cache_rgb, cache_depth, cache_c2w,
+            cache_valid, k_opt,
+        )
+    else:
+        loss_dict = {}
+    return params, adam, training_iterations, cache_rgb, cache_depth, observed, loss_dict
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "fset", "camera", "rcfg", "ocfg", "loss_cfg", "num_train_fields", "num_iters"
     ),
     donate_argnames=("params", "adam"),
@@ -350,9 +419,11 @@ def allocate_fields_jit(
     c2w: jnp.ndarray,
     active_positions: jnp.ndarray,
     active_mask: jnp.ndarray,
-    key: jax.Array,
+    base_key: jax.Array,
+    step: jnp.ndarray,
 ):
     """Uncovered-cell field allocation (run_mapping.py:267-345), jitted."""
+    key = jax.random.fold_in(base_key, step)
     points_cam, _, valid = camera.depth_to_points_full(depth_image, "opengl")
     points_world = transforms.transform_points(points_cam, c2w)
     points_world = jnp.where(valid[:, None], points_world, 0.0)
@@ -470,6 +541,8 @@ class NeuralGraphMap:
     def _init_model(self) -> None:
         self._fset = NeuralFieldSet(**self._model_kwargs)
         self._key = jax.random.PRNGKey(self._seed)
+        self._base_key = jax.random.PRNGKey(self._seed + 1)
+        self._frame_counter = 0
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -553,8 +626,10 @@ class NeuralGraphMap:
         if dataset.is_keyframe(frame_id):
             surviving.add(frame_id)
 
-        kf_ids_np = np.asarray(self._map_arrays.kf_ids)
-        kf_slots_np = np.asarray(self._map_arrays.kf_slots)
+        kf_ids_np = kf_slots_np = None
+        if removed:  # device->host pulls only when keyframes disappeared
+            kf_ids_np = np.array(self._map_arrays.kf_ids)  # mutable copies
+            kf_slots_np = np.array(self._map_arrays.kf_slots)
         dirty = False
         for kf in sorted(removed):
             self._kf_ids.discard(kf)
@@ -587,7 +662,11 @@ class NeuralGraphMap:
         # keyframe slot registration), so every field's anchor slot has a real
         # pose on both sides of the delta.
         new_slot_poses = self._snapshot_kf_slot_poses(dataset, frame_id)
-        if not self._disable_relative_fields and self._num_fields > 0:
+        if (
+            not self._disable_relative_fields
+            and self._num_fields > 0
+            and not np.array_equal(new_slot_poses, self._prev_kf2w_slots)
+        ):
             self._map_arrays = reanchor_jit(
                 self._map_arrays,
                 jnp.asarray(self._prev_kf2w_slots),
@@ -630,6 +709,7 @@ class NeuralGraphMap:
         """Ingest one frame and run the per-frame optimization
         (run_mapping.py:1224-1257 + _update_slam_state:1599-1640)."""
         t_start = time.time()
+        self._frame_counter += 1
         h, w = rgbd.shape[0], rgbd.shape[1]
         if self._cache_rgb is None:
             self._init_cache(h, w)
@@ -646,28 +726,24 @@ class NeuralGraphMap:
         self._update_graph(dataset, frame_id)
 
         is_kf = dataset.is_keyframe(frame_id)
+        kf_slot = -1
         if is_kf:
             self._kf_ids.add(frame_id)
             if not self._free_slots:
                 raise ValueError("Maximum number of keyframes reached.")
-            slot = self._free_slots.pop(0)
-            self._frame_to_slot[frame_id] = slot
-            self._cache_valid_np[slot] = True
-            self._cache_rgb, self._cache_depth = write_cache_slot(
-                self._cache_rgb, self._cache_depth, slot, rgbd
-            )
+            kf_slot = self._free_slots.pop(0)
+            self._frame_to_slot[frame_id] = kf_slot
+            self._cache_valid_np[kf_slot] = True
             if not c2w_missing:
-                self._allocate_new_fields(frame_id, rgbd[..., 3], c2w, slot)
+                # allocation needs its own dispatch (host reads num_new);
+                # writes the keyframe's depth coverage into new fields
+                self._allocate_new_fields(frame_id, rgbd[..., 3], c2w, kf_slot)
 
         # current frame occupies slot 0 (run_mapping.py:1686-1692)
+        write_current = not self._keyframes_only and not c2w_missing
         if not self._keyframes_only:
-            if c2w_missing:
-                self._cache_valid_np[0] = False
-            else:
-                self._cache_rgb, self._cache_depth = write_cache_slot(
-                    self._cache_rgb, self._cache_depth, 0, rgbd
-                )
-                self._cache_valid_np[0] = True
+            self._cache_valid_np[0] = not c2w_missing
+            if not c2w_missing:
                 self._cache_c2w_np[0] = c2w_np
 
         # refresh slot poses (SLAM refines keyframe poses continuously); taken
@@ -677,21 +753,59 @@ class NeuralGraphMap:
         self._cache_c2w_np[1:] = self._prev_kf2w_slots[1:]
         cache_c2w = jnp.asarray(self._cache_c2w_np)
         cache_valid = jnp.asarray(self._cache_valid_np)
-
-        # observed fields for the target sampler (run_mapping.py:1633-1637)
         allocated = self._allocated_mask()
-        if not c2w_missing and self._num_fields > 0:
-            self._observed_mask = observed_fields_jit(
+
+        if self._update_mode == "multi_view":
+            (
+                self._params,
+                self._adam,
+                new_ti,
+                self._cache_rgb,
+                self._cache_depth,
+                self._observed_mask,
+                loss_dict,
+            ) = frame_step(
+                self._fset,
                 self._camera,
-                self._field_radius,
-                self._next_key(),
-                rgbd[..., 3],
-                c2w,
+                self._rcfg,
+                self._ocfg,
+                self._loss_cfg,
+                self._num_train_fields,
+                self._num_iterations_per_frame,
+                write_current,
+                self._num_fields > 0,
+                self._params,
+                self._adam,
+                self._map_arrays.training_iterations,
                 self._map_arrays.positions,
+                self._map_arrays.orientations,
                 allocated,
+                self._cache_rgb,
+                self._cache_depth,
+                cache_c2w,
+                cache_valid,
+                rgbd,
+                c2w,
+                np.int32(kf_slot),
+                self._base_key,
+                np.int32(self._frame_counter),
             )
-        elif self._observed_mask is None or self._observed_mask.shape[0] != self.capacity:
-            self._observed_mask = jnp.zeros((self.capacity,), bool)
+            self._map_arrays = self._map_arrays._replace(training_iterations=new_ti)
+            if log_fn is not None and loss_dict:
+                log_fn(loss_dict)
+            self._frames_processed += 1
+            self._total_optimization_time += time.time() - t_start
+            return {k: float(v) for k, v in loss_dict.items()}
+
+        # -- single_view path (separate fused scan) --------------------------
+        if is_kf:
+            self._cache_rgb, self._cache_depth = write_cache_slot(
+                self._cache_rgb, self._cache_depth, kf_slot, rgbd
+            )
+        if write_current:
+            self._cache_rgb, self._cache_depth = write_cache_slot(
+                self._cache_rgb, self._cache_depth, 0, rgbd
+            )
 
         loss_dict = {}
         if self._num_fields > 0 and self._update_mode == "single_view":
@@ -726,36 +840,6 @@ class NeuralGraphMap:
             self._map_arrays = self._map_arrays._replace(training_iterations=new_ti)
             if log_fn is not None:
                 log_fn(loss_dict)
-        elif self._num_fields > 0:
-            (
-                self._params,
-                self._adam,
-                new_ti,
-                loss_dict,
-            ) = optimization_iterations_scan(
-                self._fset,
-                self._camera,
-                self._rcfg,
-                self._ocfg,
-                self._loss_cfg,
-                self._num_train_fields,
-                self._num_iterations_per_frame,
-                self._params,
-                self._adam,
-                self._map_arrays.training_iterations,
-                self._map_arrays.positions,
-                self._map_arrays.orientations,
-                allocated,
-                self._observed_mask,
-                self._cache_rgb,
-                self._cache_depth,
-                cache_c2w,
-                cache_valid,
-                self._next_key(),
-            )
-            self._map_arrays = self._map_arrays._replace(training_iterations=new_ti)
-            if log_fn is not None:
-                log_fn(loss_dict)
 
         self._frames_processed += 1
         self._total_optimization_time += time.time() - t_start
@@ -781,7 +865,8 @@ class NeuralGraphMap:
             c2w,
             active_positions,
             active_mask,
-            self._next_key(),
+            self._base_key,
+            np.int32(100000 + self._frame_counter),
         )
         n_new = int(num_new)
         self._bb_min = np.minimum(self._bb_min, np.asarray(bb_min))

@@ -107,28 +107,47 @@ def render_rays_vmap(
     )  # (F, R, S)
     s = distances.shape[-1]
 
-    dirs = camera.ijs_to_directions(target.ijs.astype(jnp.float32))  # (F, R, 3)
-    points_cam = dirs[..., None, :] * distances[..., None]  # (F, R, S, 3)
-    points_world = transforms.transform_points(
-        points_cam, target.c2ws[..., None, :, :]
-    )
+    # Entire geometry chain in SoA per-coordinate arrays: the per-ray
+    # quantities (directions, c2w coefficients) are tiny (F, R) slices, and
+    # the per-sample coordinates are (F, R, S)/(F, R*S) arrays — no tensor in
+    # the hot path ever has a 2/3/4-wide minor dimension (TPU lanes).
+    fx, fy, cx, cy, _ = camera.get_pinhole_camera_parameters(0.0)
+    rows = target.ijs[..., 0].astype(jnp.float32)
+    cols = target.ijs[..., 1].astype(jnp.float32)
+    dx = (cols - cx) / fx
+    dy = -(rows - cy) / fy
+    inv_norm = 1.0 / jnp.sqrt(dx * dx + dy * dy + 1.0)  # opengl: dz = -1
+    dxn = dx * inv_norm
+    dyn = dy * inv_norm
+    dzn = -inv_norm
+
+    pcx = dxn[..., None] * distances  # camera-frame sample coords (F, R, S)
+    pcy = dyn[..., None] * distances
+    pcz = dzn[..., None] * distances
+
+    c = target.c2ws  # (F, R, 4, 4); coefficient slices are (F, R, 1)
+    def coef(i, j):
+        return c[..., i, j][..., None]
+
+    wx = coef(0, 0) * pcx + coef(0, 1) * pcy + coef(0, 2) * pcz + coef(0, 3)
+    wy = coef(1, 0) * pcx + coef(1, 1) * pcy + coef(1, 2) * pcz + coef(1, 3)
+    wz = coef(2, 0) * pcx + coef(2, 1) * pcy + coef(2, 2) * pcz + coef(2, 3)
 
     # world -> local + eval, vmapped over fields; feature-major (F, 4, R*S)
-    # so points stay in the TPU lane dimension through encoding + MLP
-    outs = fset.apply_vmap_fm(
+    outs = fset.apply_vmap_fm_soa(
         sub_params,
-        points_world.reshape(f, r * s, 3),
+        (wx.reshape(f, r * s), wy.reshape(f, r * s), wz.reshape(f, r * s)),
         field_positions,
         field_orientations,
     )
 
     sample_colors = cfg.color_factor * outs[:, :3, :].reshape(f, 3, r, s)
     sample_geometries = outs[:, 3, :].reshape(f, r, s)
-    sample_depths = -points_cam[..., 2]
+    sample_depths = -pcz
 
     # behind-camera samples forced to empty space (run_mapping.py:614-622);
     # only relevant when near < 0 (single-view path)
-    behind = points_cam[..., 2] > 0
+    behind = pcz > 0
     empty = -100.0 if cfg.geometry_mode in ("occupancy", "density") else 1.0
     sample_geometries = jnp.where(behind, empty, sample_geometries)
 

@@ -103,17 +103,22 @@ class NeuralField:
         return int(sum(np.prod(p.shape) for p in params.values()))
 
     def apply_fm(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
-        """Feature-major evaluate: local points (P, pos_dim) -> (dim_out, P).
+        """Feature-major evaluate: local points (P, pos_dim) -> (dim_out, P)."""
+        coords = tuple(points[..., i] for i in range(points.shape[-1]))
+        return self.apply_fm_soa(params, coords)
+
+    def apply_fm_soa(self, params: Params, coords) -> jnp.ndarray:
+        """Feature-major evaluate from SoA local coords (d x (P,)) -> (dim_out, P).
 
         The training hot path: activations stay (channels, points) with
         points in the TPU lane dimension; linear layers contract the channel
         axis (``dot_general`` with the stored (din, dout) weights, no
-        transposes). Requires the encoding to provide ``apply_fm``.
+        transposes). Requires the encoding to provide ``apply_fm_soa``.
         """
         enc_params = {
             k.split(".", 1)[1]: v for k, v in params.items() if k.startswith("enc.")
         }
-        outs_encoding = outs = self.encoding.apply_fm(enc_params, points)  # (D, P)
+        outs_encoding = outs = self.encoding.apply_fm_soa(enc_params, coords)  # (D, P)
         num_linears = len(self.dims_in)
         for i in range(num_linears):
             prev_outs = outs
@@ -284,6 +289,52 @@ class NeuralFieldSet:
 
     # -- evaluation paths --------------------------------------------------------
 
+    def world_to_local_soa(
+        self,
+        coords,  # tuple of 3 arrays (F, P)
+        field_positions: jnp.ndarray,  # (F, 3)
+        field_orientations: jnp.ndarray,  # (F, 4) wxyz
+    ):
+        """SoA world -> field-local (+ scale): rotate by the inverse
+        orientation and translate, entirely on (F, P)-shaped per-coordinate
+        arrays (no (..., 3) tensors in the hot path)."""
+        px = coords[0] - field_positions[:, 0:1]
+        py = coords[1] - field_positions[:, 1:2]
+        pz = coords[2] - field_positions[:, 2:3]
+        # inverse quaternion = conjugate: v -> -v
+        qw = field_orientations[:, 0:1]
+        qx = -field_orientations[:, 1:2]
+        qy = -field_orientations[:, 2:3]
+        qz = -field_orientations[:, 3:4]
+        # p' = p + qw * t + q x t, with t = 2 q x p
+        tx = 2.0 * (qy * pz - qz * py)
+        ty = 2.0 * (qz * px - qx * pz)
+        tz = 2.0 * (qx * py - qy * px)
+        ox = px + qw * tx + (qy * tz - qz * ty)
+        oy = py + qw * ty + (qz * tx - qx * tz)
+        oz = pz + qw * tz + (qx * ty - qy * tx)
+        if self.scale_mode == "unit_cube":
+            s = 1.0 / (2.0 * self.field_radius)
+            return (ox * s + 0.5, oy * s + 0.5, oz * s + 0.5)
+        if self.scale_mode == "unit_ball":
+            s = 1.0 / self.field_radius
+            return (ox * s, oy * s, oz * s)
+        return (ox, oy, oz)
+
+    def apply_vmap_fm_soa(
+        self,
+        vmap_params: Params,
+        coords,  # tuple of 3 world-coordinate arrays, each (F, P)
+        field_positions: jnp.ndarray,
+        field_orientations: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Feature-major, SoA field-parallel evaluation -> (F, dim_out, P).
+
+        The training hot path: per-coordinate (F, P) arrays end to end.
+        """
+        local = self.world_to_local_soa(coords, field_positions, field_orientations)
+        return jax.vmap(self.prototype.apply_fm_soa)(vmap_params, local)
+
     def apply_vmap_fm(
         self,
         vmap_params: Params,
@@ -292,16 +343,15 @@ class NeuralFieldSet:
         field_orientations: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Feature-major field-parallel evaluation: (F, P, 3) world points ->
-        (F, dim_out, P). The training hot path (see apply_fm)."""
-        if field_positions is not None:
-            local = self.world_to_local(
-                query_points,
-                field_positions[:, None, :],
-                field_orientations[:, None, :],
-            )
-        else:
+        (F, dim_out, P). Channels-last wrapper over the SoA hot path."""
+        coords = tuple(query_points[..., i] for i in range(3))
+        if field_positions is None:
             local = self._scale_local_points(query_points)
-        return jax.vmap(self.prototype.apply_fm)(vmap_params, local)
+            lc = tuple(local[..., i] for i in range(3))
+            return jax.vmap(self.prototype.apply_fm_soa)(vmap_params, lc)
+        return self.apply_vmap_fm_soa(
+            vmap_params, coords, field_positions, field_orientations
+        )
 
     def apply_vmap(
         self,

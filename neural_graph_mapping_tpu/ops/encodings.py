@@ -130,22 +130,31 @@ class PermutohedralEncoding:
             self.capacity,
         )
 
-    def apply_fm(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
-        """Feature-major encode: points (P, d) -> (out_dim, P).
+    def apply_fm_soa(self, params: Params, coords) -> jnp.ndarray:
+        """Feature-major encode from SoA coords (d arrays of (P,)) -> (out_dim, P).
 
         The hot path: every tensor keeps points in the minor (lane) dimension
         end to end (lattice math, hash gather, blend), which is the layout
         the TPU wants; the generic channels-last :meth:`apply` wraps this
-        with an edge transpose.
+        with edge slices/transposes.
         """
         table = params["table"]  # (L, F, T) feature-major
-        idx, w = self._lattice_keys_and_weights(points)  # (L, K, P)
+        idx, w = permuto.lattice_keys_and_weights_soa(
+            coords, jnp.asarray(self.scales), self._shifts, self._elev_scale,
+            self.capacity,
+        )  # (L, K, P)
         out = permuto.gather_blend(table, idx, w)  # (L*F, P)
         if self.concat_points:
             out = jnp.concatenate(
-                [out, self.concat_points_scaling * points.T], axis=0
+                [out] + [self.concat_points_scaling * c[None, :] for c in coords],
+                axis=0,
             )
         return out
+
+    def apply_fm(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        """Feature-major encode: points (P, d) -> (out_dim, P)."""
+        coords = tuple(points[..., i] for i in range(self.pos_dim))
+        return self.apply_fm_soa(params, coords)
 
     def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
         """Encode points (..., d) -> (..., nr_levels * nr_feat_per_level [+ d])."""

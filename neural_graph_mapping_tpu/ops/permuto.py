@@ -61,19 +61,33 @@ def lattice_keys_and_weights(
     elev_scale: jnp.ndarray,  # (d,)
     capacity: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Channels-last wrapper over :func:`lattice_keys_and_weights_soa`."""
+    d = points.shape[-1]
+    coords = tuple(points[..., i] for i in range(d))
+    return lattice_keys_and_weights_soa(coords, scales, shifts, elev_scale, capacity)
+
+
+def lattice_keys_and_weights_soa(
+    coords,  # tuple of d arrays, each (P,)
+    scales: jnp.ndarray,  # (L,)
+    shifts: jnp.ndarray,  # (L, d)
+    elev_scale: jnp.ndarray,  # (d,)
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Simplex corner hash indices and barycentric weights, points-minor.
+
+    Takes structure-of-arrays coordinates so the hot path never touches a
+    (P, 3)-shaped tensor (minor-dim-3 slices/transposes are pathologically
+    slow on TPU).
 
     Returns:
         idx: (L, d+1, P) int32 hash-table indices per level and corner.
         w: (L, d+1, P) barycentric weights (sum to 1 over corners).
     """
-    d = points.shape[-1]
+    d = len(coords)
 
-    # Per-coordinate slices instead of a transpose: a (P, 3) -> (3, P)
-    # transpose has minor-dim 3 and is pathologically slow on TPU.
     cfs = [
-        (points[..., i][None, :] / scales[:, None] + shifts[:, i, None])
-        * elev_scale[i]
+        (coords[i][None, :] / scales[:, None] + shifts[:, i, None]) * elev_scale[i]
         for i in range(d)
     ]  # each (L, P)
 
