@@ -92,6 +92,10 @@ class PermutohedralEncoding:
         # euclidean space. sigma_i = 1/sqrt((i+1)(i+2)) is the standard
         # column normalization of the elevation basis E.
         self._elev_scale = jnp.asarray(permuto.make_elevation_scale(d))
+        # static tuples baked into the fused Pallas kernel (hashable)
+        self._scales_t = tuple(float(s) for s in self.scales)
+        self._shifts_t = tuple(tuple(float(x) for x in row) for row in np.asarray(self._shifts))
+        self._elev_t = tuple(float(e) for e in np.asarray(self._elev_scale))
 
     def get_out_dim(self) -> int:
         out = self.nr_levels * self.nr_feat_per_level
@@ -137,8 +141,30 @@ class PermutohedralEncoding:
         end to end (lattice math, hash gather, blend), which is the layout
         the TPU wants; the generic channels-last :meth:`apply` wraps this
         with edge slices/transposes.
+
+        On TPU (3D, 2 feats/level) the whole encode runs as ONE fused Pallas
+        kernel (lattice + lookup + blend; fused backward straight to table
+        gradients). Note the fused path does not propagate point gradients —
+        use :meth:`apply` for eikonal-style losses.
         """
         table = params["table"]  # (L, F, T) feature-major
+        if (
+            permuto._use_pallas()
+            and self.pos_dim == 3
+            and self.nr_feat_per_level == 2
+        ):
+            stacked = jnp.stack(coords, axis=0)  # (3, P): major-dim stack
+            out = permuto.encode_fused(
+                table, stacked, self._scales_t, self._shifts_t, self._elev_t,
+                self.capacity,
+            )
+            if self.concat_points:
+                out = jnp.concatenate(
+                    [out]
+                    + [self.concat_points_scaling * c[None, :] for c in coords],
+                    axis=0,
+                )
+            return out
         idx, w = permuto.lattice_keys_and_weights_soa(
             coords, jnp.asarray(self.scales), self._shifts, self._elev_scale,
             self.capacity,

@@ -35,6 +35,7 @@ pinned in /pyproject.toml:20).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Tuple
 
@@ -246,3 +247,42 @@ def _gather_blend_bwd(res, g):
 
 
 gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused encode (TPU): lattice + lookup + blend in one Pallas kernel,
+# with a fused backward that recomputes the lattice and histograms w * g
+# straight into table gradients. idx/w never materialize in HBM.
+#
+# NOTE: this path returns ZERO cotangent for the coordinates (the training
+# hot path never differentiates w.r.t. query points — sample positions and
+# field poses are not trained). Paths that need point gradients (eikonal)
+# must use the jnp lattice + gather_blend route (encodings.apply).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def encode_fused(table, coords, scales, shifts, elev, t_size):
+    """table (..., L, 2, T), coords (..., 3, P) -> (..., 2L, P)."""
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    return permuto_pallas.encode_fwd(table, coords, scales, shifts, elev, t_size)
+
+
+def _encode_fused_fwd(table, coords, scales, shifts, elev, t_size):
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    out = permuto_pallas.encode_fwd(table, coords, scales, shifts, elev, t_size)
+    return out, coords
+
+
+def _encode_fused_bwd(scales, shifts, elev, t_size, coords, g):
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    grad_table = permuto_pallas.encode_bwd_table(
+        coords, g, scales, shifts, elev, t_size
+    )
+    return grad_table, jnp.zeros_like(coords)
+
+
+encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)

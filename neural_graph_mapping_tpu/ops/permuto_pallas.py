@@ -43,6 +43,271 @@ N_LO = 1 << BITS_LO  # 64
 TILE_M = 2048
 
 
+def _lattice_tile(xs, ys, zs, scales, shifts, elev):
+    """Permutohedral lattice for one point tile, all levels, in-kernel.
+
+    xs/ys/zs: (1, TM) f32 coordinate rows. scales (L,), shifts (L, 3),
+    elev (3,): static python tuples baked into the kernel.
+
+    Returns per level a list of (corner_hash (1, TM) int32, weight (1, TM))
+    pairs — the same math as ops/permuto.lattice_keys_and_weights, unrolled
+    with python loops over the static d+1 = 4 / L dims so every tensor is a
+    (1, TM) lane row.
+    """
+    d = 3
+    levels = []
+    for l in range(len(scales)):
+        inv = 1.0 / scales[l]
+        cfs = [
+            (xs * inv + shifts[l][0]) * elev[0],
+            (ys * inv + shifts[l][1]) * elev[1],
+            (zs * inv + shifts[l][2]) * elev[2],
+        ]
+        suffix = [None] * (d + 1)
+        suffix[d] = jnp.zeros_like(cfs[0])
+        for i in range(d - 1, -1, -1):
+            suffix[i] = suffix[i + 1] + cfs[i]
+        elevated = [suffix[0]] + [suffix[i] - i * cfs[i - 1] for i in range(1, d + 1)]
+
+        down = 1.0 / (d + 1)
+        rem0 = [jnp.round(e * down) * (d + 1) for e in elevated]
+        diff = [e - r for e, r in zip(elevated, rem0)]
+        rank = [jnp.zeros_like(diff[0], dtype=jnp.int32) for _ in range(d + 1)]
+        for i in range(d + 1):
+            for j in range(i + 1, d + 1):
+                smaller = diff[i] < diff[j]
+                rank[i] = rank[i] + smaller.astype(jnp.int32)
+                rank[j] = rank[j] + (~smaller).astype(jnp.int32)
+        s = jnp.round(sum(rem0) * down).astype(jnp.int32)
+        for i in range(d + 1):
+            r = rank[i] + s
+            low = r < 0
+            high = r > d
+            rank[i] = r + jnp.where(low, d + 1, 0) - jnp.where(high, d + 1, 0)
+            rem0[i] = rem0[i] + jnp.where(low, float(d + 1), 0.0) - jnp.where(
+                high, float(d + 1), 0.0
+            )
+
+        v = [(e - r) * down for e, r in zip(elevated, rem0)]
+        bary = [jnp.zeros_like(v[0]) for _ in range(d + 2)]
+        for i in range(d + 1):
+            for b in range(d + 2):
+                hit_hi = (d - rank[i]) == b
+                hit_lo = (d + 1 - rank[i]) == b
+                bary[b] = (
+                    bary[b]
+                    + jnp.where(hit_hi, v[i], 0.0)
+                    - jnp.where(hit_lo, v[i], 0.0)
+                )
+        bary[0] = bary[0] + 1.0 + bary[d + 1]
+
+        corners = []
+        from neural_graph_mapping_tpu.ops.permuto import HASH_PRIMES
+
+        for k in range(d + 1):
+            h = jnp.zeros_like(rank[0], dtype=jnp.uint32)
+            for i in range(d):
+                offset = jnp.where(rank[i] < (d + 1 - k), k, k - (d + 1))
+                key_i = rem0[i].astype(jnp.int32) + offset
+                h = h ^ (key_i.astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[i]))
+            corners.append((h, bary[k]))
+        levels.append(corners)
+    return levels
+
+
+def _encode_fwd_kernel(
+    tab_ref, coords_ref, out_ref, *, scales, shifts, elev, t_size, num_tiles
+):
+    """Fused permutohedral encode: lattice + hash lookup + barycentric blend.
+
+    tab_ref: (1, L, 2, n_hi, N_LO). coords_ref: (1, 3, num_tiles*TILE_M).
+    out_ref: (1, 2*L, num_tiles*TILE_M) feature-major blended features.
+    """
+    n_levels = len(scales)
+    n_hi = t_size // N_LO
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, TILE_M), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
+    mask = jnp.uint32(t_size - 1)
+
+    def body(t, _):
+        sl = pl.ds(t * TILE_M, TILE_M)
+        xs = coords_ref[0, 0, sl].reshape(1, TILE_M)
+        ys = coords_ref[0, 1, sl].reshape(1, TILE_M)
+        zs = coords_ref[0, 2, sl].reshape(1, TILE_M)
+        levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
+        for l in range(n_levels):
+            out0 = jnp.zeros((1, TILE_M), jnp.float32)
+            out1 = jnp.zeros((1, TILE_M), jnp.float32)
+            for h_bits, w in levels[l]:
+                idx = (h_bits & mask).astype(jnp.int32)
+                hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
+                lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
+                dn = (((1,), (0,)), ((), ()))
+                u0 = jax.lax.dot_general(
+                    tab_ref[0, l, 0], lo_oh, dn, preferred_element_type=jnp.float32
+                )
+                u1 = jax.lax.dot_general(
+                    tab_ref[0, l, 1], lo_oh, dn, preferred_element_type=jnp.float32
+                )
+                f0 = jnp.sum(hi_oh * u0, axis=0, keepdims=True)
+                f1 = jnp.sum(hi_oh * u1, axis=0, keepdims=True)
+                out0 = out0 + w * f0
+                out1 = out1 + w * f1
+            out_ref[0, pl.ds(2 * l, 1), sl] = out0
+            out_ref[0, pl.ds(2 * l + 1, 1), sl] = out1
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, body, 0)
+
+
+def _encode_bwd_kernel(
+    coords_ref, g_ref, out_ref, *, scales, shifts, elev, t_size, num_tiles
+):
+    """Fused backward: recompute lattice, histogram w * g into table grads.
+
+    coords_ref: (1, 3, M). g_ref: (1, 2*L, M) cotangent (feature-major).
+    out_ref: (1, L, 2, n_hi, N_LO) table gradients (accumulated in VMEM).
+    """
+    n_levels = len(scales)
+    n_hi = t_size // N_LO
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, TILE_M), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
+    mask = jnp.uint32(t_size - 1)
+
+    out_ref[0, :, :, :, :] = jnp.zeros((n_levels, 2, n_hi, N_LO), jnp.float32)
+
+    def body(t, _):
+        sl = pl.ds(t * TILE_M, TILE_M)
+        xs = coords_ref[0, 0, sl].reshape(1, TILE_M)
+        ys = coords_ref[0, 1, sl].reshape(1, TILE_M)
+        zs = coords_ref[0, 2, sl].reshape(1, TILE_M)
+        levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
+        for l in range(n_levels):
+            g0 = g_ref[0, 2 * l, sl].reshape(1, TILE_M)
+            g1 = g_ref[0, 2 * l + 1, sl].reshape(1, TILE_M)
+            acc0 = jnp.zeros((n_hi, N_LO), jnp.float32)
+            acc1 = jnp.zeros((n_hi, N_LO), jnp.float32)
+            for h_bits, w in levels[l]:
+                idx = (h_bits & mask).astype(jnp.int32)
+                hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
+                lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
+                dn = (((1,), (1,)), ((), ()))
+                acc0 = acc0 + jax.lax.dot_general(
+                    hi_oh, lo_oh * (w * g0), dn, preferred_element_type=jnp.float32
+                )
+                acc1 = acc1 + jax.lax.dot_general(
+                    hi_oh, lo_oh * (w * g1), dn, preferred_element_type=jnp.float32
+                )
+            out_ref[0, l, 0, :, :] = out_ref[0, l, 0, :, :] + acc0
+            out_ref[0, l, 1, :, :] = out_ref[0, l, 1, :, :] + acc1
+        return 0
+
+    jax.lax.fori_loop(0, num_tiles, body, 0)
+
+
+def _static_consts(scales, shifts, elev):
+    return (
+        tuple(float(s) for s in scales),
+        tuple(tuple(float(x) for x in row) for row in shifts),
+        tuple(float(e) for e in elev),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scales", "shifts", "elev", "t_size"))
+def encode_fwd(table, coords, scales, shifts, elev, t_size):
+    """Fused permutohedral encode. table (..., L, 2, T), coords (..., 3, P)
+    -> (..., 2*L, P). Static lattice constants are baked into the kernel."""
+    lead = coords.shape[:-2]
+    p = coords.shape[-1]
+    n_levels = len(scales)
+    n_hi = t_size // N_LO
+    b = 1
+    for s in lead:
+        b *= s
+    num_tiles = (p + TILE_M - 1) // TILE_M
+    pad = num_tiles * TILE_M - p
+    coords_f = coords.reshape(b, 3, p)
+    if pad:
+        coords_f = jnp.concatenate(
+            [coords_f, jnp.zeros((b, 3, pad), coords.dtype)], axis=-1
+        )
+    tab_f = table.reshape(b, n_levels, 2, n_hi, N_LO)
+    m = num_tiles * TILE_M
+
+    out = pl.pallas_call(
+        functools.partial(
+            _encode_fwd_kernel, scales=scales, shifts=shifts, elev=elev,
+            t_size=t_size, num_tiles=num_tiles,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_levels, 2, n_hi, N_LO), lambda i: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * n_levels, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * n_levels, m), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_levels * 4 * 2 * m * t_size,
+            bytes_accessed=b * (m * 12 + n_levels * t_size * 8 + 2 * n_levels * m * 4),
+            transcendentals=0,
+        ),
+    )(tab_f, coords_f)
+    return out[:, :, :p].reshape(lead + (2 * n_levels, p))
+
+
+@functools.partial(jax.jit, static_argnames=("scales", "shifts", "elev", "t_size"))
+def encode_bwd_table(coords, g, scales, shifts, elev, t_size):
+    """Fused table gradient for encode_fwd. coords (..., 3, P),
+    g (..., 2*L, P) -> (..., L, 2, T)."""
+    lead = coords.shape[:-2]
+    p = coords.shape[-1]
+    n_levels = len(scales)
+    n_hi = t_size // N_LO
+    b = 1
+    for s in lead:
+        b *= s
+    num_tiles = (p + TILE_M - 1) // TILE_M
+    pad = num_tiles * TILE_M - p
+    coords_f = coords.reshape(b, 3, p)
+    g_f = g.reshape(b, 2 * n_levels, p)
+    if pad:
+        coords_f = jnp.concatenate(
+            [coords_f, jnp.zeros((b, 3, pad), coords.dtype)], axis=-1
+        )
+        g_f = jnp.concatenate([g_f, jnp.zeros((b, 2 * n_levels, pad), g.dtype)], axis=-1)
+    m = num_tiles * TILE_M
+
+    out = pl.pallas_call(
+        functools.partial(
+            _encode_bwd_kernel, scales=scales, shifts=shifts, elev=elev,
+            t_size=t_size, num_tiles=num_tiles,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 2 * n_levels, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_levels, 2, n_hi, N_LO), lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_levels, 2, n_hi, N_LO), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_levels * 4 * 2 * m * t_size,
+            bytes_accessed=b * (m * 12 + 2 * n_levels * m * 4 + n_levels * t_size * 8),
+            transcendentals=0,
+        ),
+    )(coords_f, g_f)
+    return out.reshape(lead + (n_levels, 2, n_hi * N_LO))
+
+
 def _gather_kernel(tab_ref, idx_ref, out_ref, *, n_hi: int, num_tiles: int):
     """Hash-table lookup as decomposed one-hot matmuls (one (field, level)
     pair per grid step).
