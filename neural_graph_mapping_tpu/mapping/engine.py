@@ -902,10 +902,15 @@ class NeuralGraphMap:
         self,
         c2w: jnp.ndarray,
         camera,
-        capacity_per_field: int = 16384,
+        capacity_per_field: Optional[int] = None,
     ):
         """Render a full RGB-D image with the KNN blend path
         (run_mapping.py:403-437). Chunked over pixel blocks.
+
+        The MoE dispatch capacity is auto-sized from the measured per-field
+        demand of the first block (dominant fields can attract 100x the mean;
+        undersized capacity silently drops sample evaluations and renders
+        holes — measured as a 14 dB PSNR loss on the synthetic scene).
 
         Returns (rgbd (H, W, 4), depth_vars (H, W)).
         """
@@ -918,6 +923,29 @@ class NeuralGraphMap:
         n = ijs_all.shape[0]
         pad = (-n) % block
         ijs_all = jnp.concatenate([ijs_all, jnp.zeros((pad, 2))], axis=0)
+
+        if capacity_per_field is None:
+            max_count = int(
+                render_demand_probe(
+                    self._fset,
+                    camera,
+                    self._eval_num_samples,
+                    self._eval_near,
+                    self._eval_far,
+                    self._params,
+                    self._map_arrays.positions,
+                    self._allocated_mask(),
+                    ijs_all[:block],
+                    jnp.asarray(c2w),
+                )
+            )
+            capacity_per_field = 1 << max(13, int(np.ceil(np.log2(max(max_count, 1) * 1.5))))
+            # bound total buffer size (capacity_per_field * field capacity)
+            while capacity_per_field * self.capacity > (1 << 25) and capacity_per_field > 8192:
+                capacity_per_field //= 2
+            logger.info(
+                "render dispatch: max demand %d -> capacity %d", max_count, capacity_per_field
+            )
 
         outs = []
         dvars = []
@@ -948,6 +976,44 @@ class NeuralGraphMap:
             jnp.asarray(c2w),
             self._next_key(),
         )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fset", "camera", "num_samples", "near", "far"),
+)
+def render_demand_probe(
+    fset: NeuralFieldSet,
+    camera,
+    num_samples: int,
+    near: float,
+    far: float,
+    params,
+    positions,
+    allocated_mask,
+    ijs,  # (B, 2)
+    c2w,
+):
+    """Max per-field routed-pair count for one render block (used to size the
+    MoE dispatch capacity; see render_image)."""
+    from neural_graph_mapping_tpu.ops import dispatch as dispatch_mod
+
+    b = ijs.shape[0]
+    dirs = camera.ijs_to_directions(ijs)
+    edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
+    distances = near + (far - near) * (edges + 0.5 / num_samples)
+    points = (dirs[:, None, :] * distances[None, :, None]).reshape(-1, 3)
+    points_world = transforms.transform_points(points, c2w)
+    k = fset.num_knn
+    knn_dists, knn_idx = dispatch_mod.topk_fields(
+        points_world, positions, allocated_mask, k
+    )
+    inside = knn_dists[:, 0] < fset.field_radius
+    pair_valid = jnp.repeat(inside, k) & jnp.isfinite(knn_dists.reshape(-1))
+    n_cap = positions.shape[0]
+    ids = jnp.where(pair_valid, knn_idx.reshape(-1), n_cap)
+    counts = jnp.zeros((n_cap + 1,), jnp.int32).at[ids].add(1)
+    return jnp.max(counts[:n_cap])
 
 
 @functools.partial(

@@ -115,13 +115,15 @@ def _lattice_tile(xs, ys, zs, scales, shifts, elev):
     return levels
 
 
-def _encode_fwd_kernel(
-    tab_ref, coords_ref, out_ref, *, scales, shifts, elev, t_size, num_tiles
-):
+def _encode_fwd_kernel(tab_ref, coords_ref, out_ref, *, scales, shifts, elev, t_size):
     """Fused permutohedral encode: lattice + hash lookup + barycentric blend.
 
-    tab_ref: (1, L, 2, n_hi, N_LO). coords_ref: (1, 3, num_tiles*TILE_M).
-    out_ref: (1, 2*L, num_tiles*TILE_M) feature-major blended features.
+    One grid step = one (batch, point-tile): only a TILE_M slice of coords and
+    outputs lives in VMEM (large point counts would otherwise exceed the
+    ~16 MB VMEM budget; the render path evaluates millions of points).
+
+    tab_ref: (1, L, 2, n_hi, N_LO). coords_ref: (1, 3, TILE_M).
+    out_ref: (1, 2*L, TILE_M) feature-major blended features.
     """
     n_levels = len(scales)
     n_hi = t_size // N_LO
@@ -129,44 +131,39 @@ def _encode_fwd_kernel(
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
     mask = jnp.uint32(t_size - 1)
 
-    def body(t, _):
-        sl = pl.ds(t * TILE_M, TILE_M)
-        xs = coords_ref[0, 0, sl].reshape(1, TILE_M)
-        ys = coords_ref[0, 1, sl].reshape(1, TILE_M)
-        zs = coords_ref[0, 2, sl].reshape(1, TILE_M)
-        levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
-        for l in range(n_levels):
-            out0 = jnp.zeros((1, TILE_M), jnp.float32)
-            out1 = jnp.zeros((1, TILE_M), jnp.float32)
-            for h_bits, w in levels[l]:
-                idx = (h_bits & mask).astype(jnp.int32)
-                hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
-                lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
-                dn = (((1,), (0,)), ((), ()))
-                u0 = jax.lax.dot_general(
-                    tab_ref[0, l, 0], lo_oh, dn, preferred_element_type=jnp.float32
-                )
-                u1 = jax.lax.dot_general(
-                    tab_ref[0, l, 1], lo_oh, dn, preferred_element_type=jnp.float32
-                )
-                f0 = jnp.sum(hi_oh * u0, axis=0, keepdims=True)
-                f1 = jnp.sum(hi_oh * u1, axis=0, keepdims=True)
-                out0 = out0 + w * f0
-                out1 = out1 + w * f1
-            out_ref[0, pl.ds(2 * l, 1), sl] = out0
-            out_ref[0, pl.ds(2 * l + 1, 1), sl] = out1
-        return 0
-
-    jax.lax.fori_loop(0, num_tiles, body, 0)
+    xs = coords_ref[0, 0, :].reshape(1, TILE_M)
+    ys = coords_ref[0, 1, :].reshape(1, TILE_M)
+    zs = coords_ref[0, 2, :].reshape(1, TILE_M)
+    levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
+    for l in range(n_levels):
+        out0 = jnp.zeros((1, TILE_M), jnp.float32)
+        out1 = jnp.zeros((1, TILE_M), jnp.float32)
+        for h_bits, w in levels[l]:
+            idx = (h_bits & mask).astype(jnp.int32)
+            hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
+            lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
+            dn = (((1,), (0,)), ((), ()))
+            u0 = jax.lax.dot_general(
+                tab_ref[0, l, 0], lo_oh, dn, preferred_element_type=jnp.float32
+            )
+            u1 = jax.lax.dot_general(
+                tab_ref[0, l, 1], lo_oh, dn, preferred_element_type=jnp.float32
+            )
+            f0 = jnp.sum(hi_oh * u0, axis=0, keepdims=True)
+            f1 = jnp.sum(hi_oh * u1, axis=0, keepdims=True)
+            out0 = out0 + w * f0
+            out1 = out1 + w * f1
+        out_ref[0, pl.ds(2 * l, 1), :] = out0
+        out_ref[0, pl.ds(2 * l + 1, 1), :] = out1
 
 
-def _encode_bwd_kernel(
-    coords_ref, g_ref, out_ref, *, scales, shifts, elev, t_size, num_tiles
-):
+def _encode_bwd_kernel(coords_ref, g_ref, out_ref, *, scales, shifts, elev, t_size):
     """Fused backward: recompute lattice, histogram w * g into table grads.
 
-    coords_ref: (1, 3, M). g_ref: (1, 2*L, M) cotangent (feature-major).
-    out_ref: (1, L, 2, n_hi, N_LO) table gradients (accumulated in VMEM).
+    Grid = (batch, point-tiles); the (1, L, 2, n_hi, N_LO) output block is
+    revisited across the tile dimension and accumulated in VMEM.
+
+    coords_ref: (1, 3, TILE_M). g_ref: (1, 2*L, TILE_M).
     """
     n_levels = len(scales)
     n_hi = t_size // N_LO
@@ -174,35 +171,32 @@ def _encode_bwd_kernel(
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
     mask = jnp.uint32(t_size - 1)
 
-    out_ref[0, :, :, :, :] = jnp.zeros((n_levels, 2, n_hi, N_LO), jnp.float32)
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[0, :, :, :, :] = jnp.zeros((n_levels, 2, n_hi, N_LO), jnp.float32)
 
-    def body(t, _):
-        sl = pl.ds(t * TILE_M, TILE_M)
-        xs = coords_ref[0, 0, sl].reshape(1, TILE_M)
-        ys = coords_ref[0, 1, sl].reshape(1, TILE_M)
-        zs = coords_ref[0, 2, sl].reshape(1, TILE_M)
-        levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
-        for l in range(n_levels):
-            g0 = g_ref[0, 2 * l, sl].reshape(1, TILE_M)
-            g1 = g_ref[0, 2 * l + 1, sl].reshape(1, TILE_M)
-            acc0 = jnp.zeros((n_hi, N_LO), jnp.float32)
-            acc1 = jnp.zeros((n_hi, N_LO), jnp.float32)
-            for h_bits, w in levels[l]:
-                idx = (h_bits & mask).astype(jnp.int32)
-                hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
-                lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
-                dn = (((1,), (1,)), ((), ()))
-                acc0 = acc0 + jax.lax.dot_general(
-                    hi_oh, lo_oh * (w * g0), dn, preferred_element_type=jnp.float32
-                )
-                acc1 = acc1 + jax.lax.dot_general(
-                    hi_oh, lo_oh * (w * g1), dn, preferred_element_type=jnp.float32
-                )
-            out_ref[0, l, 0, :, :] = out_ref[0, l, 0, :, :] + acc0
-            out_ref[0, l, 1, :, :] = out_ref[0, l, 1, :, :] + acc1
-        return 0
-
-    jax.lax.fori_loop(0, num_tiles, body, 0)
+    xs = coords_ref[0, 0, :].reshape(1, TILE_M)
+    ys = coords_ref[0, 1, :].reshape(1, TILE_M)
+    zs = coords_ref[0, 2, :].reshape(1, TILE_M)
+    levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
+    for l in range(n_levels):
+        g0 = g_ref[0, 2 * l, :].reshape(1, TILE_M)
+        g1 = g_ref[0, 2 * l + 1, :].reshape(1, TILE_M)
+        acc0 = jnp.zeros((n_hi, N_LO), jnp.float32)
+        acc1 = jnp.zeros((n_hi, N_LO), jnp.float32)
+        for h_bits, w in levels[l]:
+            idx = (h_bits & mask).astype(jnp.int32)
+            hi_oh = (hi_iota == (idx >> BITS_LO)).astype(jnp.float32)
+            lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
+            dn = (((1,), (1,)), ((), ()))
+            acc0 = acc0 + jax.lax.dot_general(
+                hi_oh, lo_oh * (w * g0), dn, preferred_element_type=jnp.float32
+            )
+            acc1 = acc1 + jax.lax.dot_general(
+                hi_oh, lo_oh * (w * g1), dn, preferred_element_type=jnp.float32
+            )
+        out_ref[0, l, 0, :, :] = out_ref[0, l, 0, :, :] + acc0
+        out_ref[0, l, 1, :, :] = out_ref[0, l, 1, :, :] + acc1
 
 
 def _static_consts(scales, shifts, elev):
@@ -237,18 +231,21 @@ def encode_fwd(table, coords, scales, shifts, elev, t_size):
     out = pl.pallas_call(
         functools.partial(
             _encode_fwd_kernel, scales=scales, shifts=shifts, elev=elev,
-            t_size=t_size, num_tiles=num_tiles,
+            t_size=t_size,
         ),
-        grid=(b,),
+        grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, n_levels, 2, n_hi, N_LO), lambda i: (i, 0, 0, 0, 0),
+                (1, n_levels, 2, n_hi, N_LO), lambda i, t: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, TILE_M), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2 * n_levels, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 2 * n_levels, TILE_M), lambda i, t: (i, 0, t),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2 * n_levels, m), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -285,17 +282,20 @@ def encode_bwd_table(coords, g, scales, shifts, elev, t_size):
     out = pl.pallas_call(
         functools.partial(
             _encode_bwd_kernel, scales=scales, shifts=shifts, elev=elev,
-            t_size=t_size, num_tiles=num_tiles,
+            t_size=t_size,
         ),
-        grid=(b,),
+        grid=(b, num_tiles),
         in_specs=[
-            pl.BlockSpec((1, 3, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 2 * n_levels, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 3, TILE_M), lambda i, t: (i, 0, t), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2 * n_levels, TILE_M), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_levels, 2, n_hi, N_LO), lambda i: (i, 0, 0, 0, 0),
+            (1, n_levels, 2, n_hi, N_LO), lambda i, t: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_levels, 2, n_hi, N_LO), jnp.float32),
