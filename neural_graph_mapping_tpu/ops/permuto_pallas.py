@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BITS_LO = 6
 N_LO = 1 << BITS_LO  # 64
-TILE_M = 2048
+TILE_M = 1024
 
 
 def _lattice_tile(xs, ys, zs, scales, shifts, elev):
