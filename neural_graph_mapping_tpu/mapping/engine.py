@@ -537,6 +537,10 @@ class NeuralGraphMap:
         self._num_train_fields = int(c.get("num_train_fields", 32))
         self._pixel_block_size = int(c.get("pixel_block_size", 8192))
         self._seed = int(c.get("seed", 0))
+        # multi-chip: shard the field axis of params/adam over a 1-D mesh
+        # (SURVEY.md section 2c; the reference is strictly single-device,
+        # run_mapping.py:124). 1 = single-chip (default).
+        self._num_field_shards = int(c.get("num_field_shards", 1))
 
     def _init_model(self) -> None:
         self._fset = NeuralFieldSet(**self._model_kwargs)
@@ -550,9 +554,20 @@ class NeuralGraphMap:
 
     def _init_state(self) -> None:
         cap = 32
+        self._mesh = None
+        if self._num_field_shards > 1:
+            from neural_graph_mapping_tpu.parallel import sharding as sharding_mod
+
+            if cap % self._num_field_shards != 0:
+                raise ValueError(
+                    f"field capacity {cap} must be divisible by "
+                    f"num_field_shards={self._num_field_shards}"
+                )
+            self._mesh = sharding_mod.make_field_mesh(self._num_field_shards)
         self._map_arrays = map_state.init_map_arrays(cap)
         self._params = self._fset.init_fields(self._next_key(), cap)
         self._adam = optimizer.init_adam_state(self._params)
+        self._reshard_fields()
         self._num_fields = 0
 
         self._graph: Dict[int, Set[int]] = {}
@@ -599,6 +614,32 @@ class NeuralGraphMap:
             k: jnp.concatenate([v, extra[k]], axis=0) for k, v in self._params.items()
         }
         self._adam = optimizer.grow_adam_state(self._adam, self._params)
+        self._reshard_fields()
+
+    def _reshard_fields(self) -> None:
+        """Re-apply field-axis sharding to the stacked params + Adam state.
+
+        Multi-chip design (SURVEY.md section 2c): the big per-field state
+        (hash tables, MLP weights, Adam moments) shards its leading field axis
+        over a 1-D "field" mesh; the map registry, keyframe cache, and
+        per-iteration targets stay replicated (they are small). Inside the
+        jitted step, the active-subset gather ``params[field_ids]`` and the
+        post-step scatter become XLA collectives over ICI; on real multi-chip
+        hardware, aligning ``field_ids`` with the owning shard makes them
+        local (see parallel/sharding.py). Called at init and after capacity
+        growth (growth preserves divisibility: capacity doubles).
+        """
+        if self._mesh is None:
+            return
+        from neural_graph_mapping_tpu.parallel import sharding as sharding_mod
+
+        fshard = sharding_mod.field_sharding(self._mesh)
+        self._params = sharding_mod.shard_field_pytree(self._params, self._mesh)
+        self._adam = optimizer.AdamState(
+            m=sharding_mod.shard_field_pytree(self._adam.m, self._mesh),
+            v=sharding_mod.shard_field_pytree(self._adam.v, self._mesh),
+            steps=jax.device_put(self._adam.steps, fshard),
+        )
 
     def _allocated_mask(self) -> jnp.ndarray:
         return jnp.arange(self.capacity) < self._num_fields
