@@ -207,10 +207,13 @@ def _static_consts(scales, shifts, elev):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scales", "shifts", "elev", "t_size"))
-def encode_fwd(table, coords, scales, shifts, elev, t_size):
+@functools.partial(
+    jax.jit, static_argnames=("scales", "shifts", "elev", "t_size", "interpret")
+)
+def encode_fwd(table, coords, scales, shifts, elev, t_size, interpret=False):
     """Fused permutohedral encode. table (..., L, 2, T), coords (..., 3, P)
-    -> (..., 2*L, P). Static lattice constants are baked into the kernel."""
+    -> (..., 2*L, P). Static lattice constants are baked into the kernel.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
     lead = coords.shape[:-2]
     p = coords.shape[-1]
     n_levels = len(scales)
@@ -253,12 +256,15 @@ def encode_fwd(table, coords, scales, shifts, elev, t_size):
             bytes_accessed=b * (m * 12 + n_levels * t_size * 8 + 2 * n_levels * m * 4),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(tab_f, coords_f)
     return out[:, :, :p].reshape(lead + (2 * n_levels, p))
 
 
-@functools.partial(jax.jit, static_argnames=("scales", "shifts", "elev", "t_size"))
-def encode_bwd_table(coords, g, scales, shifts, elev, t_size):
+@functools.partial(
+    jax.jit, static_argnames=("scales", "shifts", "elev", "t_size", "interpret")
+)
+def encode_bwd_table(coords, g, scales, shifts, elev, t_size, interpret=False):
     """Fused table gradient for encode_fwd. coords (..., 3, P),
     g (..., 2*L, P) -> (..., L, 2, T)."""
     lead = coords.shape[:-2]
@@ -304,6 +310,7 @@ def encode_bwd_table(coords, g, scales, shifts, elev, t_size):
             bytes_accessed=b * (m * 12 + 2 * n_levels * m * 4 + n_levels * t_size * 8),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(coords_f, g_f)
     return out.reshape(lead + (n_levels, 2, n_hi * N_LO))
 
@@ -344,8 +351,10 @@ def _gather_kernel(tab_ref, idx_ref, out_ref, *, n_hi: int, num_tiles: int):
     jax.lax.fori_loop(0, num_tiles, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def gather_pairs(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gather_pairs(
+    table: jnp.ndarray, idx: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
     """Batched hash-table lookup: table (..., 2, T), idx (..., M) ->
     feats (..., 2, M). Leading dims are flattened into the kernel grid."""
     assert table.shape[-2] == 2, "kernel specialized to 2 features/level"
@@ -385,6 +394,7 @@ def gather_pairs(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
             bytes_accessed=b * (num_tiles * TILE_M * 12 + t_size * 8),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(tab_f, idx_f)
 
     return out.reshape(b, 2, num_tiles * TILE_M)[:, :, :m].reshape(lead + (2, m))
@@ -419,8 +429,10 @@ def _table_grad_kernel(idx_ref, gv_ref, out_ref, *, n_hi: int, num_tiles: int):
     out_ref[0, :, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("table_size",))
-def table_grad(idx: jnp.ndarray, gvals: jnp.ndarray, table_size: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("table_size", "interpret"))
+def table_grad(
+    idx: jnp.ndarray, gvals: jnp.ndarray, table_size: int, interpret: bool = False
+) -> jnp.ndarray:
     """Accumulate weighted gradients into feature-major hash tables, batched.
 
     Args:
@@ -470,6 +482,7 @@ def table_grad(idx: jnp.ndarray, gvals: jnp.ndarray, table_size: int) -> jnp.nda
             bytes_accessed=b * (num_tiles * TILE_M * 12 + table_size * 8),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(idx_f, gv_f)
 
     # (b, n_hi, 2, N_LO) -> (b, 2, n_hi, N_LO): major-dims permute, minor

@@ -73,3 +73,95 @@ class TestTableGrad:
         gv = jnp.zeros((1, 2, 64))
         out = permuto_pallas.table_grad(idx, gv, 128)
         assert float(jnp.abs(out).max()) == 0.0
+
+
+def _enc(levels=4, log2_t=8):
+    from neural_graph_mapping_tpu.ops.encodings import PermutohedralEncoding
+
+    return PermutohedralEncoding(
+        pos_dim=3, log2_hashmap_size=log2_t, nr_levels=levels,
+        nr_feat_per_level=2, coarsest_scale=1.0, finest_scale=0.01,
+        init_scale=1e-2,
+    )
+
+
+def _jnp_encode(enc, table, coords):
+    """Reference path: jnp lattice + gather_blend (the CPU production path)."""
+    from neural_graph_mapping_tpu.ops import permuto
+
+    idx, w = permuto.lattice_keys_and_weights_soa(
+        tuple(coords[i] for i in range(3)),
+        jnp.asarray(enc.scales), enc._shifts, enc._elev_scale, enc.capacity,
+    )
+    return permuto.gather_blend(table, idx, w), (idx, w)
+
+
+class TestEncodeFused:
+    """encode_fwd / encode_bwd_table (the TPU production hot path since the
+    fused-encode commit) must match the jnp lattice + gather_blend path that
+    the 148 CPU tests exercise — guards against drift between the duplicated
+    lattice math in permuto_pallas._lattice_tile and permuto.py."""
+
+    @pytest.mark.parametrize("p", [700, 1024, 1500])  # un/even vs TILE_M
+    def test_fwd_matches_jnp_path(self, p):
+        enc = _enc()
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        table = enc.init(k1)["table"]  # (L, 2, T)
+        coords = jax.random.uniform(k2, (3, p), minval=-1.5, maxval=1.5)
+        got = permuto_pallas.encode_fwd(
+            table, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+        )
+        want, _ = _jnp_encode(enc, table, coords)
+        assert got.shape == want.shape == (2 * enc.nr_levels, p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_fwd_multi_field_leading_dims(self):
+        enc = _enc(levels=3, log2_t=7)
+        key = jax.random.PRNGKey(4)
+        f, p = 3, 513
+        tables = jax.vmap(lambda k: enc.init(k)["table"])(jax.random.split(key, f))
+        coords = jax.random.uniform(key, (f, 3, p), minval=-2.0, maxval=2.0)
+        got = permuto_pallas.encode_fwd(
+            tables, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+        )
+        assert got.shape == (f, 2 * enc.nr_levels, p)
+        for i in range(f):
+            want, _ = _jnp_encode(enc, tables[i], coords[i])
+            np.testing.assert_allclose(
+                np.asarray(got[i]), np.asarray(want), atol=1e-4
+            )
+
+    @pytest.mark.parametrize("p", [700, 1500])
+    def test_bwd_table_matches_autodiff(self, p):
+        enc = _enc()
+        key = jax.random.PRNGKey(5)
+        k1, k2, k3 = jax.random.split(key, 3)
+        table = enc.init(k1)["table"]
+        coords = jax.random.uniform(k2, (3, p), minval=-1.5, maxval=1.5)
+        g = jax.random.normal(k3, (2 * enc.nr_levels, p))
+
+        got = permuto_pallas.encode_bwd_table(
+            coords, g, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+        )
+        assert got.shape == (enc.nr_levels, 2, enc.capacity)
+
+        # autodiff of the jnp path w.r.t. the table under the same cotangent
+        def f(tab):
+            out, _ = _jnp_encode(enc, tab, coords)
+            return out
+
+        _, vjp = jax.vjp(f, table)
+        (want,) = vjp(g)  # (L, 2, T)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-4
+        )
+
+    def test_bwd_zero_cotangent(self):
+        enc = _enc(levels=2, log2_t=6)
+        coords = jnp.zeros((3, 64))
+        g = jnp.zeros((2 * enc.nr_levels, 64))
+        out = permuto_pallas.encode_bwd_table(
+            coords, g, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+        )
+        assert float(jnp.abs(out).max()) == 0.0
