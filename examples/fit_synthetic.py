@@ -123,8 +123,10 @@ def main(iters: int = 300) -> None:
 
     sel = jnp.arange(0, n, 13)
     pts_sel = pts[sel].reshape(-1, 3)
-    knn_out = fset.apply_knn(
-        params, pts_sel, positions, orientations, jnp.ones(1, bool), capacity=8192
+    # tiled MoE dispatch: evaluates every routed pair (the fixed-capacity
+    # path silently drops pairs once demand exceeds `capacity`)
+    knn_out = fset.apply_knn_tiled(
+        params, pts_sel, positions, orientations, jnp.ones(1, bool)
     )
     inside = jnp.linalg.norm(pts_sel - positions[0], axis=-1) < 1.0
     diff = jnp.abs(knn_out - outs[sel].reshape(-1, 4)).max(axis=-1)

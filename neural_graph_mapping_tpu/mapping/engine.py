@@ -518,6 +518,12 @@ class NeuralGraphMap:
                 (self._eval_far - self._eval_near) / self._sample_spacing,
             )
         )
+        # span-restricted render path: samples are placed only inside the
+        # per-ray field-intersection interval, so far fewer are needed for the
+        # same (or better) spacing than the reference's full-range count
+        self._eval_span_samples = int(
+            min(self._eval_num_samples, int(c.get("eval_span_samples", 256)))
+        )
 
         self._ocfg = optimizer.AdamConfig(
             learning_rate=float(c.get("learning_rate", 1e-3)),
@@ -948,10 +954,12 @@ class NeuralGraphMap:
         """Render a full RGB-D image with the KNN blend path
         (run_mapping.py:403-437). Chunked over pixel blocks.
 
-        The MoE dispatch capacity is auto-sized from the measured per-field
-        demand of the first block (dominant fields can attract 100x the mean;
-        undersized capacity silently drops sample evaluations and renders
-        holes — measured as a 14 dB PSNR loss on the synthetic scene).
+        Default path (permutohedral fields): span-restricted sampling + tiled
+        MoE dispatch — per-ray samples cover only the interval where the ray
+        intersects any field sphere, and all routed pairs are evaluated (no
+        per-field capacity, no demand probe, no dropped pairs). Fallback
+        (other encodings, or an explicit ``capacity_per_field``): the
+        capacity-buffer dispatch with a demand probe.
 
         Returns (rgbd (H, W, 4), depth_vars (H, W)).
         """
@@ -965,7 +973,12 @@ class NeuralGraphMap:
         pad = (-n) % block
         ijs_all = jnp.concatenate([ijs_all, jnp.zeros((pad, 2))], axis=0)
 
-        if capacity_per_field is None:
+        tiled = (
+            capacity_per_field is None
+            and self._fset.supports_tiled_knn()
+            and jax.default_backend() == "tpu"  # CPU falls back (no Pallas)
+        )
+        if not tiled and capacity_per_field is None:
             max_count = int(
                 render_demand_probe(
                     self._fset,
@@ -991,9 +1004,27 @@ class NeuralGraphMap:
         outs = []
         dvars = []
         for start in range(0, n + pad, block):
-            rgbd, dvar = self._render_ij_block(
-                ijs_all[start : start + block], c2w, camera, capacity_per_field
-            )
+            ijs = ijs_all[start : start + block]
+            if tiled:
+                rgbd, dvar = render_block_tiled_jit(
+                    self._fset,
+                    camera,
+                    self._rcfg,
+                    self._eval_span_samples,
+                    self._eval_near,
+                    self._eval_far,
+                    self._params,
+                    self._map_arrays.positions,
+                    self._map_arrays.orientations,
+                    self._allocated_mask(),
+                    ijs,
+                    jnp.asarray(c2w),
+                    self._next_key(),
+                )
+            else:
+                rgbd, dvar = self._render_ij_block(
+                    ijs, c2w, camera, capacity_per_field
+                )
             outs.append(rgbd)
             dvars.append(dvar)
         rgbds = jnp.concatenate(outs)[:n].reshape(h, w, 4)
@@ -1055,6 +1086,99 @@ def render_demand_probe(
     ids = jnp.where(pair_valid, knn_idx.reshape(-1), n_cap)
     counts = jnp.zeros((n_cap + 1,), jnp.int32).at[ids].add(1)
     return jnp.max(counts[:n_cap])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fset", "camera", "rcfg", "num_samples", "near", "far", "interpret"),
+)
+def render_block_tiled_jit(
+    fset: NeuralFieldSet,
+    camera,
+    rcfg: render.RenderConfig,
+    num_samples: int,
+    near: float,
+    far: float,
+    params,
+    positions,
+    orientations,
+    allocated_mask,
+    ijs,  # (B, 2) float
+    c2w,  # (4, 4)
+    key,
+    interpret: bool = False,
+):
+    """Span-restricted full-image render block with tiled MoE dispatch.
+
+    Per ray, samples are stratified inside [t0, t1] — the union interval
+    where the ray intersects any allocated field sphere — instead of the
+    reference's uniform [near, far] sweep (run_mapping.py:199-207 derives
+    ~640 samples over 0-8 m; most land outside every field). All routed
+    (sample, neighbor) pairs are then evaluated via
+    NeuralFieldSet.apply_knn_tiled — no per-field capacity, no dropped pairs.
+    """
+    b = ijs.shape[0]
+    dirs = camera.ijs_to_directions(ijs)  # (B, 3) camera frame
+    rot = c2w[:3, :3]
+    origin = c2w[:3, 3]
+    dirs_w = dirs @ rot.T  # (B, 3) world
+
+    # per-ray span over allocated field spheres
+    co = positions - origin[None, :]  # (N, 3)
+    proj = dirs_w @ co.T  # (B, N) distance along ray to closest approach
+    c_sq = jnp.sum(co * co, axis=-1)  # (N,)
+    r = float(fset.field_radius)
+    disc = proj * proj - (c_sq[None, :] - r * r)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    enter = proj - sq
+    exit_ = proj + sq
+    hit = (disc > 0.0) & allocated_mask[None, :] & (exit_ > near) & (enter < far)
+    enter_c = jnp.clip(enter, near, far)
+    exit_c = jnp.clip(exit_, near, far)
+    t0 = jnp.min(jnp.where(hit, enter_c, far), axis=-1)  # (B,)
+    t1 = jnp.max(jnp.where(hit, exit_c, near), axis=-1)
+    any_hit = jnp.any(hit, axis=-1)
+    t0 = jnp.where(any_hit, t0, near)
+    t1 = jnp.where(any_hit, jnp.maximum(t1, t0), far)
+
+    edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
+    u = jax.random.uniform(key, (b, num_samples))
+    distances = t0[:, None] + (t1 - t0)[:, None] * (edges + u / num_samples)  # (B, S)
+
+    points_world = (
+        origin[None, None, :] + dirs_w[:, None, :] * distances[..., None]
+    )
+
+    outs = fset.apply_knn_tiled(
+        params,
+        points_world.reshape(-1, 3),
+        positions,
+        orientations,
+        allocated_mask,
+        interpret=interpret,
+    ).reshape(b, num_samples, -1)
+
+    sample_colors = rcfg.color_factor * outs[..., :3]
+    sample_geometries = outs[..., 3]
+    # depth = -z in camera frame = distance * (-dir_cam_z); dirs are unit
+    sample_depths = distances * (-dirs[:, 2])[:, None]
+    neus_isds = None
+    if rcfg.geometry_mode == "neus":
+        neus_isds = 1.0 / jnp.abs(jnp.mean(params["neus_sd"]))
+
+    from neural_graph_mapping_tpu.ops import quadrature as quad_mod
+
+    q = quad_mod.quadrature(
+        rcfg.geometry_mode,
+        sample_colors,
+        sample_geometries,
+        distances,
+        sample_depths,
+        geometry_factor=rcfg.geometry_factor,
+        neus_isds=neus_isds,
+    )
+    rgbd = jnp.concatenate([q.colors, q.depths[..., None]], axis=-1)
+    return rgbd, q.depth_vars
 
 
 @functools.partial(

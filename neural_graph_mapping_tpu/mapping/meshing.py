@@ -96,6 +96,11 @@ def extract_mesh(
     orientations_j = jnp.asarray(orientations)
     valid_j = jnp.asarray(valid)
 
+    use_tiled = (
+        getattr(fset, "supports_tiled_knn", lambda: False)()
+        and jax.default_backend() == "tpu"
+    )
+
     def eval_points(pts: np.ndarray, radius: float) -> np.ndarray:
         """Chunked KNN evaluation of (N, 3) world points -> (N, 4)."""
         outs = []
@@ -104,10 +109,16 @@ def extract_mesh(
         pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
         for start in range(0, len(pts_p), eval_chunk):
             chunk = jnp.asarray(pts_p[start : start + eval_chunk])
-            out = fset.apply_knn(
-                params, chunk, positions_j, orientations_j, valid_j,
-                capacity=knn_capacity, field_radius=radius,
-            )
+            if use_tiled:  # skew-proof dispatch, no capacity drops
+                out = fset.apply_knn_tiled(
+                    params, chunk, positions_j, orientations_j, valid_j,
+                    field_radius=radius,
+                )
+            else:
+                out = fset.apply_knn(
+                    params, chunk, positions_j, orientations_j, valid_j,
+                    capacity=knn_capacity, field_radius=radius,
+                )
             outs.append(np.asarray(out))
         return np.concatenate(outs)[:n]
 

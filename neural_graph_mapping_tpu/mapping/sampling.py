@@ -120,6 +120,48 @@ def observed_fields_mask(
     return jnp.any(hits, axis=-1) & allocated_mask
 
 
+_VIS_POOL = 4  # visibility-depth max-pool factor (TPU path)
+
+
+def _visibility_depths(
+    cache_depth: jnp.ndarray,  # (S, H, W)
+    ys: jnp.ndarray,  # (F, K, S) clipped pixel rows
+    xs: jnp.ndarray,  # (F, K, S) clipped pixel cols
+) -> jnp.ndarray:
+    """Per-slot depth lookup for the field<->keyframe visibility test
+    (run_mapping.py:1341-1356 gathers the cached depth at each projected
+    sphere sample).
+
+    On TPU the exact XLA scalar gather measures ~2 ms/iteration (it
+    serializes); instead the depth maps are 4x4 MAX-pooled (loop-invariant
+    inside the per-frame scan, so XLA hoists the pooling) and looked up with
+    the Pallas lane-gather kernel. Max-pooling makes the occlusion test
+    conservative-permissive (a field is never wrongly marked invisible), which
+    only biases *which keyframes are sampled for training* — supervision
+    masks downstream are unaffected. CPU keeps the exact gather.
+    """
+    from neural_graph_mapping_tpu.ops import permuto
+
+    s, h, w = cache_depth.shape
+    if not permuto._use_pallas():
+        slot_idx = jnp.broadcast_to(jnp.arange(s)[None, None, :], ys.shape)
+        return cache_depth[slot_idx, ys, xs]
+
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    p = _VIS_POOL
+    h_ds, w_ds = (h + p - 1) // p, (w + p - 1) // p
+    pad_h, pad_w = h_ds * p - h, w_ds * p - w
+    padded = jnp.pad(cache_depth, ((0, 0), (0, pad_h), (0, pad_w)))
+    pooled = jnp.max(padded.reshape(s, h_ds, p, w_ds, p), axis=(2, 4))
+
+    f, k, _ = ys.shape
+    flat = (ys // p) * w_ds + (xs // p)  # (F, K, S)
+    flat_t = flat.transpose(2, 0, 1).reshape(s, f * k)  # slot-major
+    got = permuto_pallas.batched_gather(pooled.reshape(s, h_ds * w_ds), flat_t)
+    return got.reshape(s, f, k).transpose(1, 2, 0)
+
+
 def sample_target_mv(
     key: jax.Array,
     camera: Camera,
@@ -168,8 +210,7 @@ def sample_target_mv(
 
     xs_c = jnp.clip(xs, 0, w - 1)
     ys_c = jnp.clip(ys, 0, h - 1)
-    slot_idx = jnp.broadcast_to(jnp.arange(s)[None, None, :], xs.shape)
-    kf_depths = cache_depth[slot_idx, ys_c, xs_c]  # (F, 20, S)
+    kf_depths = _visibility_depths(cache_depth, ys_c, xs_c)  # (F, 20, S)
     kf_depths = jnp.where(in_frustum, kf_depths, 0.0)
 
     # field <-> keyframe visibility (run_mapping.py:1357-1362)

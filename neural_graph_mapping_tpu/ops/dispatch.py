@@ -102,6 +102,72 @@ def dispatch_indices(
     return slot, kept, counts.astype(jnp.int32)
 
 
+def tiled_dispatch_indices(
+    expert_ids: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    num_experts: int,
+    tile: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sorted dispatch with per-expert segments padded to tile boundaries.
+
+    Unlike :func:`dispatch_indices` (fixed per-expert capacity, silently drops
+    overflow), this packs ALL valid pairs into a flat buffer where every
+    ``tile``-sized chunk is owned by exactly one expert — the layout consumed
+    by the scalar-prefetch Pallas MoE encode kernel
+    (ops/permuto_pallas.encode_fwd_moe). Buffer size is
+    ``total + num_experts * tile`` in the worst case (each expert wastes at
+    most one partial tile), independent of per-expert demand skew — the
+    previous max-demand x num_experts sizing exploded 100x under dominant
+    fields (see VERDICT round 1).
+
+    Args:
+        expert_ids: (M,) int32 expert per pair.
+        pair_valid: (M,) bool; invalid pairs get an out-of-range slot.
+        num_experts: static expert count N.
+        tile: static tile size (the Pallas kernel's point-tile).
+
+    Returns:
+        slot: (M,) int32 position in the flat (num_tiles * tile,) buffer, or
+            num_tiles * tile for invalid pairs (out of range — use mode="drop").
+        tile_expert: (num_tiles,) int32 owning expert per tile (0 for unused
+            trailing tiles; their buffer slots are never read back).
+        num_used_tiles: () int32 tiles actually occupied.
+    """
+    m = expert_ids.shape[0]
+    num_tiles = m // tile + num_experts  # static: sum ceil(c_f/tile)*tile bound
+    ids = jnp.where(pair_valid, expert_ids, num_experts).astype(jnp.int32)
+    order = jnp.argsort(ids, stable=True)
+    sorted_ids = ids[order]
+    seg_start = jnp.searchsorted(
+        sorted_ids, jnp.arange(num_experts + 1, dtype=sorted_ids.dtype)
+    ).astype(jnp.int32)
+    counts = seg_start[1:] - seg_start[:-1]  # (N,)
+    padded = ((counts + tile - 1) // tile) * tile
+    pad_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded, dtype=jnp.int32)]
+    )  # (N+1,)
+    rank = jnp.arange(m, dtype=jnp.int32) - seg_start[
+        jnp.clip(sorted_ids, 0, num_experts)
+    ]
+    in_range = sorted_ids < num_experts
+    slot_sorted = jnp.where(
+        in_range,
+        pad_start[jnp.minimum(sorted_ids, num_experts - 1)] + rank,
+        num_tiles * tile,
+    )
+    slot = jnp.zeros((m,), jnp.int32).at[order].set(slot_sorted)
+    tile_expert = jnp.clip(
+        jnp.searchsorted(
+            pad_start, jnp.arange(num_tiles, dtype=jnp.int32) * tile, side="right"
+        )
+        - 1,
+        0,
+        num_experts - 1,
+    ).astype(jnp.int32)
+    num_used_tiles = pad_start[num_experts] // tile
+    return slot, tile_expert, num_used_tiles
+
+
 def expert_eval(
     apply_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     stacked_params,

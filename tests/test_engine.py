@@ -118,6 +118,51 @@ class TestEngineEndToEnd:
         assert ngm.fps_estimate > 0
         assert ngm.spf_estimate > 0
 
+    def test_render_block_tiled_matches_capacity_path(self, fitted):
+        """The TPU render path (span-restricted sampling + tiled MoE dispatch)
+        must produce the same surfaces as the capacity-buffer path; depth and
+        color agree where both place samples on the surface (the paths
+        stratify different intervals, so exact equality is not expected)."""
+        from neural_graph_mapping_tpu.mapping.engine import (
+            render_block_jit, render_block_tiled_jit,
+        )
+
+        ds, ngm, _ = fitted
+        cam = ds.camera.scaled_camera(0.5)
+        c2w = jnp.asarray(ds.gt_c2ws[0])
+        ii, jj = np.meshgrid(np.arange(cam.height), np.arange(cam.width), indexing="ij")
+        ijs = jnp.asarray(np.stack([ii, jj], -1).reshape(-1, 2).astype(np.float32))[:256]
+        key = jax.random.PRNGKey(0)
+
+        rgbd_t, dv_t = render_block_tiled_jit(
+            ngm._fset, cam, ngm._rcfg, 64, ngm._eval_near, ngm._eval_far,
+            ngm._params, ngm._map_arrays.positions, ngm._map_arrays.orientations,
+            ngm._allocated_mask(), ijs, c2w, key, interpret=True,
+        )
+        rgbd_c, dv_c = render_block_jit(
+            ngm._fset, cam, ngm._rcfg, 256, ngm._eval_near, ngm._eval_far,
+            1 << 16, ngm._params, ngm._map_arrays.positions,
+            ngm._map_arrays.orientations, ngm._allocated_mask(), ijs, c2w, key,
+        )
+        assert rgbd_t.shape == rgbd_c.shape == (256, 4)
+        assert bool(jnp.isfinite(rgbd_t).all()) and bool(jnp.isfinite(dv_t).all())
+        # On an undertrained map the full-range path adds leftover
+        # transmittance mass beyond the field span, so the two paths are only
+        # comparable against ground truth: span restriction must not be less
+        # accurate than the capacity path.
+        gt_depth_full = np.asarray(ds[0]["rgbd"])[..., 3]
+        ij_np = np.asarray(ijs).astype(int)
+        gt = gt_depth_full[ij_np[:, 0] * 2, ij_np[:, 1] * 2]  # cam scaled 0.5
+        valid = (gt > 0) & (np.asarray(rgbd_t[:, 3]) > 0.05) & (
+            np.asarray(rgbd_c[:, 3]) > 0.05
+        )
+        assert valid.any()
+        err_t = np.abs(np.asarray(rgbd_t[:, 3]) - gt)[valid].mean()
+        err_c = np.abs(np.asarray(rgbd_c[:, 3]) - gt)[valid].mean()
+        assert err_t <= err_c + 0.05, (
+            f"tiled path less accurate: {err_t:.3f} vs {err_c:.3f} m vs GT"
+        )
+
 
 class TestEngineGrowth:
     def test_capacity_grows(self):

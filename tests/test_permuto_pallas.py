@@ -35,18 +35,34 @@ class TestGatherPairs:
         b, t, m = 3, 256, 700  # m not a multiple of the tile size
         table = jax.random.normal(key, (b, 2, t))
         idx = jax.random.randint(key, (b, m), 0, t)
-        got = permuto_pallas.gather_pairs(table, idx)
+        got = permuto_pallas.gather_pairs(table, idx, mxu_dtype=jnp.float32)
         want = jnp.stack(
             [jnp.take_along_axis(table[:, f, :], idx, axis=1) for f in range(2)],
             axis=1,
         )
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
+    def test_matches_take_bf16_default(self):
+        """Production default (bf16 MXU operands): exact one-hots, table
+        values quantized to bf16 -> relative error bounded by 2^-8."""
+        key = jax.random.PRNGKey(0)
+        b, t, m = 3, 256, 700
+        table = jax.random.normal(key, (b, 2, t))
+        idx = jax.random.randint(key, (b, m), 0, t)
+        got = permuto_pallas.gather_pairs(table, idx)
+        want = jnp.stack(
+            [jnp.take_along_axis(table[:, f, :], idx, axis=1) for f in range(2)],
+            axis=1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2**-8, atol=1e-6
+        )
+
     def test_multi_leading_dims(self):
         key = jax.random.PRNGKey(1)
         table = jax.random.normal(key, (2, 4, 2, 128))
         idx = jax.random.randint(key, (2, 4, 300), 0, 128)
-        got = permuto_pallas.gather_pairs(table, idx)
+        got = permuto_pallas.gather_pairs(table, idx, mxu_dtype=jnp.float32)
         assert got.shape == (2, 4, 2, 300)
         # spot check one entry
         np.testing.assert_allclose(
@@ -60,13 +76,17 @@ class TestTableGrad:
         b, t, m = 2, 128, 500
         idx = jax.random.randint(key, (b, m), 0, t)
         gv = jax.random.normal(key, (b, 2, m))
-        got = permuto_pallas.table_grad(idx, gv, t)
+        got = permuto_pallas.table_grad(idx, gv, t, mxu_dtype=jnp.float32)
         want = np.zeros((b, 2, t), np.float32)
         idx_np, gv_np = np.asarray(idx), np.asarray(gv)
         for i in range(b):
             for f in range(2):
                 np.add.at(want[i, f], idx_np[i], gv_np[i, f])
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+        # production default (bf16 gradient operands): same histogram up to
+        # per-value bf16 quantization
+        got_bf = permuto_pallas.table_grad(idx, gv, t)
+        np.testing.assert_allclose(np.asarray(got_bf), want, rtol=2**-7, atol=0.05)
 
     def test_zero_gradients(self):
         idx = jnp.zeros((1, 64), jnp.int32)
@@ -110,11 +130,19 @@ class TestEncodeFused:
         table = enc.init(k1)["table"]  # (L, 2, T)
         coords = jax.random.uniform(k2, (3, p), minval=-1.5, maxval=1.5)
         got = permuto_pallas.encode_fwd(
-            table, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+            table, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity,
+            mxu_dtype=jnp.float32,
         )
         want, _ = _jnp_encode(enc, table, coords)
         assert got.shape == want.shape == (2 * enc.nr_levels, p)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+        # production default (bf16 table operand): within bf16 quantization
+        got_bf = permuto_pallas.encode_fwd(
+            table, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_bf), np.asarray(want), atol=float(enc.init_scale) * 2**-6
+        )
 
     def test_fwd_multi_field_leading_dims(self):
         enc = _enc(levels=3, log2_t=7)
@@ -123,7 +151,8 @@ class TestEncodeFused:
         tables = jax.vmap(lambda k: enc.init(k)["table"])(jax.random.split(key, f))
         coords = jax.random.uniform(key, (f, 3, p), minval=-2.0, maxval=2.0)
         got = permuto_pallas.encode_fwd(
-            tables, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+            tables, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity,
+            mxu_dtype=jnp.float32,
         )
         assert got.shape == (f, 2 * enc.nr_levels, p)
         for i in range(f):
@@ -142,7 +171,8 @@ class TestEncodeFused:
         g = jax.random.normal(k3, (2 * enc.nr_levels, p))
 
         got = permuto_pallas.encode_bwd_table(
-            coords, g, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+            coords, g, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity,
+            mxu_dtype=jnp.float32,
         )
         assert got.shape == (enc.nr_levels, 2, enc.capacity)
 
@@ -155,6 +185,13 @@ class TestEncodeFused:
         (want,) = vjp(g)  # (L, 2, T)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-4
+        )
+        # production default (bf16 gradient operand)
+        got_bf = permuto_pallas.encode_bwd_table(
+            coords, g, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_bf), np.asarray(want), rtol=2**-6, atol=0.05
         )
 
     def test_bwd_zero_cotangent(self):
