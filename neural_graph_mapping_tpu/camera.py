@@ -137,31 +137,64 @@ class Camera:
         key: jax.Array,
         ijs: jnp.ndarray,
         num_samples: int,
-        near_distances,
-        far_distances,
+        near_distances=None,
+        far_distances=None,
+        weights: Optional[jnp.ndarray] = None,
+        boundaries: Optional[jnp.ndarray] = None,
         convention: str = "opengl",
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Stratified-uniform sample points along rays through given pixels.
+        """Sample points along rays through given pixels (camera.py:215-292).
 
-        Reference camera.py:215-292 (boundaries/weights mode omitted: the main
-        pipeline never uses it; depth-guided sampling is handled by the caller
-        exactly as in run_mapping.py:521-545).
+        Two modes:
+        - stratified-uniform in [near, far) (``weights``/``boundaries`` None);
+          depth-guided sampling is handled by the caller exactly as in
+          run_mapping.py:521-545;
+        - weighted-bin: categorical draw over depth bins ``boundaries``
+          (..., num_bins+1) with probabilities ``weights`` (..., num_bins),
+          then uniform within each drawn bin (camera.py:278-288).
 
         Returns:
             points: Camera-frame points, shape (..., num_samples, 3).
             distances: Euclidean distances from origin, shape (..., num_samples).
         """
         leading_dims = ijs.shape[:-1]
+        if (weights is None) != (boundaries is None):
+            raise ValueError(
+                "Either both or none of weights and boundaries must be None."
+            )
         dirs = self.ijs_to_directions(ijs, convention=convention)
-        near = jnp.broadcast_to(jnp.asarray(near_distances, jnp.float32), leading_dims)
-        far = jnp.broadcast_to(jnp.asarray(far_distances, jnp.float32), leading_dims)
 
-        deltas = (far - near) / num_samples
-        edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]  # bin left edges in [0,1)
-        u = jax.random.uniform(key, leading_dims + (num_samples,))
-        distances = (
-            deltas[..., None] * u + edges * (far - near)[..., None] + near[..., None]
-        )
+        if boundaries is None:
+            near = jnp.broadcast_to(
+                jnp.asarray(near_distances, jnp.float32), leading_dims
+            )
+            far = jnp.broadcast_to(
+                jnp.asarray(far_distances, jnp.float32), leading_dims
+            )
+            deltas = (far - near) / num_samples
+            edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]  # left edges
+            u = jax.random.uniform(key, leading_dims + (num_samples,))
+            distances = (
+                deltas[..., None] * u
+                + edges * (far - near)[..., None]
+                + near[..., None]
+            )
+        else:
+            key_bin, key_u = jax.random.split(key)
+            num_bins = weights.shape[-1]
+            # batched searchsorted over the weight CDF (static shapes; the
+            # reference's torch.searchsorted, camera.py:279-282)
+            cum_weights = jnp.cumsum(weights, axis=-1) + 1e-3
+            r = jax.random.uniform(key_bin, leading_dims + (num_samples,))
+            bins = jnp.sum(
+                cum_weights[..., None, :] < r[..., :, None], axis=-1
+            )
+            bins = jnp.clip(bins, 0, num_bins - 1)
+            bin_deltas = boundaries[..., 1:] - boundaries[..., :-1]
+            bin_starts = jnp.take_along_axis(boundaries, bins, axis=-1)
+            bin_sizes = jnp.take_along_axis(bin_deltas, bins, axis=-1)
+            u = jax.random.uniform(key_u, leading_dims + (num_samples,))
+            distances = bin_starts + bin_sizes * u
         points = dirs[..., None, :] * distances[..., None]
         return points, distances
 

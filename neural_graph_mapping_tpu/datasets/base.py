@@ -132,10 +132,39 @@ class SLAMDataset(abc.ABC):
         """Directory of the current scene."""
 
     @abc.abstractmethod
-    def __getitem__(self, index: int) -> dict:
+    def _get_sequence_item(self, index: int) -> dict:
         """Return {"time", "rgbd", "c2w"} for a frame."""
 
+    def set_mode(self, mode: Literal["ray", "sequence"]) -> None:
+        """Switch between per-frame and per-ray indexing
+        (slam_dataset.py:322-330; ray mode is what the reference's vis
+        tooling consumes). In ray mode ``len`` is num_images * H * W and
+        items are ``{"ij" (2,), "rgbd" (4,), "c2w" (4, 4)}``; frames are
+        decoded lazily with a one-frame memo (instead of the reference's
+        full prefetch) since consumers scan rays in frame order."""
+        if mode not in ("ray", "sequence"):
+            raise ValueError(f"Unknown dataset mode {mode!r}")
+        self._mode = mode
+
+    def __getitem__(self, index: int) -> dict:
+        if getattr(self, "_mode", "sequence") == "sequence":
+            return self._get_sequence_item(index)
+        rays_per_frame = self.camera.height * self.camera.width
+        frame_id, pix = divmod(index, rays_per_frame)
+        i, j = divmod(pix, self.camera.width)
+        if getattr(self, "_ray_memo_id", None) != frame_id:
+            self._ray_memo_id = frame_id
+            self._ray_memo = self._get_sequence_item(frame_id)
+        item = self._ray_memo
+        return {
+            "ij": np.asarray([i, j], np.float32),
+            "rgbd": item["rgbd"][i, j],
+            "c2w": item["c2w"],
+        }
+
     def __len__(self) -> int:
+        if getattr(self, "_mode", "sequence") == "ray":
+            return self.num_images * self.camera.height * self.camera.width
         return self.num_images
 
     def __str__(self) -> str:

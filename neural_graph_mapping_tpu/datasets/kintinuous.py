@@ -79,7 +79,7 @@ class KintinuousDataset(SLAMDataset):
     def has_gt_mesh(self) -> bool:
         return False
 
-    def __getitem__(self, index: int) -> dict:
+    def _get_sequence_item(self, index: int) -> dict:
         rgb = np.asarray(
             PIL.Image.open(self._image_dir / self._image_files[index]), np.float32
         )[..., :3] / 255.0

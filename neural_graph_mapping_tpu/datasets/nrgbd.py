@@ -104,7 +104,7 @@ class NRGBDDataset(SLAMDataset):
             depth = 0.00123631 * depth**2 + (1 + 0.00073707) * depth
         return depth
 
-    def __getitem__(self, index: int) -> dict:
+    def _get_sequence_item(self, index: int) -> dict:
         rgb = np.asarray(
             PIL.Image.open(self._image_dir / self._image_files[index]), np.float32
         )[..., :3] / 255.0

@@ -98,7 +98,7 @@ class ReplicaDataset(SLAMDataset):
         # (reference uses trimesh for this, replica_dataset.py:153-161)
         return meshio.load_ply(self.gt_mesh_path)
 
-    def __getitem__(self, index: int) -> dict:
+    def _get_sequence_item(self, index: int) -> dict:
         rgb = np.asarray(PIL.Image.open(self._image_files[index]), np.float32)[
             ..., :3
         ] / 255.0

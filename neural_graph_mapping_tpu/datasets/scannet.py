@@ -119,7 +119,7 @@ class ScanNetDataset(SLAMDataset):
     def load_gt_mesh(self) -> meshio.Mesh:
         return meshio.load_ply(self.gt_mesh_path)
 
-    def __getitem__(self, index: int) -> dict:
+    def _get_sequence_item(self, index: int) -> dict:
         rgb = np.asarray(PIL.Image.open(self._image_files[index]), np.float32)[
             ..., :3
         ] / 255.0

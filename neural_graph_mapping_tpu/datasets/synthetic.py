@@ -168,7 +168,7 @@ class SyntheticDataset(SLAMDataset):
         rgbd = np.concatenate([color, z_depth[:, None]], axis=-1)
         return rgbd.reshape(self.camera.height, self.camera.width, 4)
 
-    def __getitem__(self, index: int) -> dict:
+    def _get_sequence_item(self, index: int) -> dict:
         if index not in self._frames:
             self._frames[index] = self._raycast(self.gt_c2ws[index])
         return {

@@ -137,14 +137,15 @@ def lpips(
         x = (2.0 * img - 1.0 - _LPIPS_SHIFT) / _LPIPS_SCALE
         x = jnp.moveaxis(x, -1, 0)[None]  # (1, 3, H, W)
         feats = []
+        # (name, stride, pad, pool-after): torchvision AlexNet features —
+        # note conv0 uses padding=2, NOT the 'same' padding of (11-1)//2
         conv_cfg = [
-            ("conv0", 4, 2), ("conv1", 1, 2), ("conv2", 1, 1),
-            ("conv3", 1, 1), ("conv4", 1, 1),
+            ("conv0", 4, 2, 2), ("conv1", 1, 2, 2), ("conv2", 1, 1, 1),
+            ("conv3", 1, 1, 1), ("conv4", 1, 1, 1),
         ]
-        for i, (name, stride, pool) in enumerate(conv_cfg):
+        for i, (name, stride, pad, pool) in enumerate(conv_cfg):
             kernel = w[f"{name}_w"]
             bias = w[f"{name}_b"]
-            pad = (kernel.shape[-1] - 1) // 2
             x = jax.lax.conv_general_dilated(
                 x, kernel, (stride, stride), [(pad, pad), (pad, pad)]
             ) + bias[None, :, None, None]

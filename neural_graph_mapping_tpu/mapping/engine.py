@@ -33,7 +33,7 @@ from neural_graph_mapping_tpu.mapping import graph as graph_mod
 from neural_graph_mapping_tpu.mapping import map_state, optimizer, render, sampling
 from neural_graph_mapping_tpu.models.fields import NeuralFieldSet
 from neural_graph_mapping_tpu.ops import losses as losses_mod
-from neural_graph_mapping_tpu.utils import transforms
+from neural_graph_mapping_tpu.utils import chunking, profiling, transforms
 
 logger = logging.getLogger(__name__)
 
@@ -746,6 +746,7 @@ class NeuralGraphMap:
             ids |= self._kf2fields.get(kf, set())
         return np.fromiter(ids, np.int64) if ids else np.zeros((0,), np.int64)
 
+    @profiling.benchmark
     def process_frame(
         self,
         dataset,
@@ -945,6 +946,7 @@ class NeuralGraphMap:
 
     # -- inference ----------------------------------------------------------------
 
+    @profiling.benchmark
     def render_image(
         self,
         c2w: jnp.ndarray,
@@ -969,9 +971,6 @@ class NeuralGraphMap:
             np.stack([ii, jj], -1).reshape(-1, 2).astype(np.float32)
         )
         block = self._pixel_block_size
-        n = ijs_all.shape[0]
-        pad = (-n) % block
-        ijs_all = jnp.concatenate([ijs_all, jnp.zeros((pad, 2))], axis=0)
 
         tiled = (
             capacity_per_field is None
@@ -979,6 +978,11 @@ class NeuralGraphMap:
             and jax.default_backend() == "tpu"  # CPU falls back (no Pallas)
         )
         if not tiled and capacity_per_field is None:
+            probe_ijs = ijs_all[:block]
+            if probe_ijs.shape[0] < block:
+                probe_ijs = jnp.concatenate(
+                    [probe_ijs, jnp.zeros((block - probe_ijs.shape[0], 2))]
+                )
             max_count = int(
                 render_demand_probe(
                     self._fset,
@@ -989,7 +993,7 @@ class NeuralGraphMap:
                     self._params,
                     self._map_arrays.positions,
                     self._allocated_mask(),
-                    ijs_all[:block],
+                    probe_ijs,
                     jnp.asarray(c2w),
                 )
             )
@@ -1001,12 +1005,9 @@ class NeuralGraphMap:
                 "render dispatch: max demand %d -> capacity %d", max_count, capacity_per_field
             )
 
-        outs = []
-        dvars = []
-        for start in range(0, n + pad, block):
-            ijs = ijs_all[start : start + block]
+        def model(ijs):
             if tiled:
-                rgbd, dvar = render_block_tiled_jit(
+                return render_block_tiled_jit(
                     self._fset,
                     camera,
                     self._rcfg,
@@ -1021,15 +1022,10 @@ class NeuralGraphMap:
                     jnp.asarray(c2w),
                     self._next_key(),
                 )
-            else:
-                rgbd, dvar = self._render_ij_block(
-                    ijs, c2w, camera, capacity_per_field
-                )
-            outs.append(rgbd)
-            dvars.append(dvar)
-        rgbds = jnp.concatenate(outs)[:n].reshape(h, w, 4)
-        depth_vars = jnp.concatenate(dvars)[:n].reshape(h, w)
-        return rgbds, depth_vars
+            return self._render_ij_block(ijs, c2w, camera, capacity_per_field)
+
+        rgbds, depth_vars = chunking.batched_evaluation(model, ijs_all, block)
+        return rgbds.reshape(h, w, 4), depth_vars.reshape(h, w)
 
     def _render_ij_block(self, ijs, c2w, camera, capacity_per_field):
         return render_block_jit(

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_graph_mapping_tpu.ops import native
-from neural_graph_mapping_tpu.utils import meshio, transforms
+from neural_graph_mapping_tpu.utils import chunking, meshio, transforms
 
 logger = logging.getLogger(__name__)
 
@@ -103,24 +103,21 @@ def extract_mesh(
 
     def eval_points(pts: np.ndarray, radius: float) -> np.ndarray:
         """Chunked KNN evaluation of (N, 3) world points -> (N, 4)."""
-        outs = []
-        n = len(pts)
-        pad = (-n) % eval_chunk
-        pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) if pad else pts
-        for start in range(0, len(pts_p), eval_chunk):
-            chunk = jnp.asarray(pts_p[start : start + eval_chunk])
+
+        def model(chunk):
             if use_tiled:  # skew-proof dispatch, no capacity drops
-                out = fset.apply_knn_tiled(
+                return fset.apply_knn_tiled(
                     params, chunk, positions_j, orientations_j, valid_j,
                     field_radius=radius,
                 )
-            else:
-                out = fset.apply_knn(
-                    params, chunk, positions_j, orientations_j, valid_j,
-                    capacity=knn_capacity, field_radius=radius,
-                )
-            outs.append(np.asarray(out))
-        return np.concatenate(outs)[:n]
+            return fset.apply_knn(
+                params, chunk, positions_j, orientations_j, valid_j,
+                capacity=knn_capacity, field_radius=radius,
+            )
+
+        return np.asarray(
+            chunking.batched_evaluation(model, jnp.asarray(pts), eval_chunk)
+        )
 
     all_verts, all_faces, all_colors = [], [], []
     vert_offset = 0

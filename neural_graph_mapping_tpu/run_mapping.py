@@ -28,6 +28,7 @@ from neural_graph_mapping_tpu import config as config_mod
 from neural_graph_mapping_tpu.eval import render_metrics
 from neural_graph_mapping_tpu.mapping import meshing
 from neural_graph_mapping_tpu.mapping.engine import NeuralGraphMap
+from neural_graph_mapping_tpu.utils import chunking, observability, profiling
 
 logger = logging.getLogger(__name__)
 
@@ -64,12 +65,31 @@ class NeuralGraphMapRunner:
         self._mesh_resolution = float(config.get("mesh_resolution", 0.02))
         self._keyframes_only = bool(config.get("keyframes_only", False))
         self._log_iteration_freq = int(config.get("log_iteration_freq", 100))
+        # observability (reference config/neural_graph_map.yaml:44-54)
+        self._render_vis = bool(config.get("render_vis", False))
+        self._render_frames = list(config.get("render_frames", []) or [])
+        self._render_frame_freq = int(config.get("render_frame_freq", 200))
+        self._extract_mesh_frame_freq = int(config.get("extract_mesh_frame_freq", 100))
+        self._extract_mesh_frames = set(config.get("extract_mesh_frames", []) or [])
+        self._store_intermediate_meshes = bool(
+            config.get("store_intermediate_meshes", False)
+        )
+        self._eval_store_details = bool(config.get("eval_store_details", True))
+        self._rerun_vis = bool(config.get("rerun_vis", False))
+        self._rerun_save = config.get("rerun_save", None)
+        self._rerun_connect_addr = config.get("rerun_connect_addr", None)
+        self._wandb_project = config.get("wandb_project", "neural_graph_mapping_tpu")
+        profiling.benchmark.enabled = bool(config.get("benchmark", False))
         self._run_name: Optional[str] = None
         out_dir = config.get("out_dir", "runs")
         self._out_dir = pathlib.Path(out_dir) / self.run_name
         self.metrics: Dict[str, float] = {}
         self._metric_dicts_for_chunks: List[dict] = []
+        self._eval_details: List[list] = []
         self._model_path = config.get("model", None)
+        self._wandb = None
+        self._rerun = None
+        self._iteration = 0
 
         logging.basicConfig(level=int(config.get("loglevel", 20)))
 
@@ -125,20 +145,35 @@ class NeuralGraphMapRunner:
         self._out_dir.mkdir(parents=True, exist_ok=True)
         (self._out_dir / "eval_data").mkdir(exist_ok=True)
 
+        # observability: one wandb run per fit (run_mapping.py:1036-1049) +
+        # rerun streaming (run_mapping.py:1054-1059); both degrade to no-ops
+        # when the packages are unavailable
+        self._wandb = observability.WandbLogger(
+            self._wandb_project, self.config, name=self.run_name
+        )
+        if self._rerun_vis or self._rerun_save or self._rerun_connect_addr:
+            self._rerun = observability.RerunLogger(
+                rrd_path=(
+                    str(self._out_dir / f"{self.run_name}.rrd")
+                    if self._rerun_save
+                    else None
+                ),
+                connect_addr=self._rerun_connect_addr,
+                spawn=self._rerun_vis and not self._rerun_save,
+            )
+
         if self._model_path:
             self.load_model(self._model_path)
 
         chunk_id = 0
-        iteration = 0
         for frame_id in range(len(dataset)):
             if frame_id in self.train_frame_ids:
                 item = dataset[frame_id]
                 losses = self.engine.process_frame(
                     dataset, frame_id, jnp.asarray(item["rgbd"])
                 )
-                iteration += self.engine._num_iterations_per_frame
-                if losses and iteration % self._log_iteration_freq < self.engine._num_iterations_per_frame:
-                    logger.info("frame %d losses %s", frame_id, {k: round(v, 4) for k, v in losses.items()})
+                self._iteration += self.engine._num_iterations_per_frame
+                self._log(frame_id, losses, item)
             # chunk-boundary online eval (run_mapping.py:1253-1257)
             if chunk_id < len(self.chunks):
                 chunk = self.chunks[chunk_id]
@@ -151,7 +186,95 @@ class NeuralGraphMapRunner:
 
         self.evaluate_full()
         self.save_model()
+        if self._wandb is not None:
+            self._wandb.log(dict(self.metrics))
+            self._wandb.finish()
         return self.metrics
+
+    # -- in-loop logging (reference run_mapping.py:1715-1766) --------------------
+
+    def _log(self, frame_id: int, losses: dict, item: dict) -> None:
+        """Loss streaming + rerun telemetry + periodic render previews /
+        intermediate meshes (reference _log, run_mapping.py:1715-1766)."""
+        new_iters = self.engine._num_iterations_per_frame
+        if losses and self._iteration % self._log_iteration_freq < new_iters:
+            logger.info(
+                "frame %d losses %s",
+                frame_id,
+                {k: round(v, 4) for k, v in losses.items()},
+            )
+            if self._wandb is not None and self._wandb.enabled:
+                self._wandb.log(
+                    {**losses, "current_frame_id": frame_id}, step=self._iteration
+                )
+
+        if self._rerun is not None and self._rerun.enabled:
+            e = self.engine
+            self._rerun.set_frame(frame_id)
+            c2w = np.asarray(self.dataset.get_slam_c2ws(frame_id))
+            if np.isfinite(c2w).all():
+                self._rerun.log_camera(
+                    c2w, self.dataset.camera, rgbd=item["rgbd"]
+                )
+            if e.num_fields > 0:
+                self._rerun.log_fields(
+                    np.asarray(e._map_arrays.positions)[: e.num_fields],
+                    e._field_radius,
+                )
+
+        if (
+            self._render_vis
+            and self._render_frames
+            and (frame_id + 1) % self._render_frame_freq == 0
+        ):
+            self._log_renders(frame_id)
+
+        if (
+            (self._rerun is not None and self._rerun.enabled)
+            or self._store_intermediate_meshes
+        ) and (
+            (frame_id + 1) % self._extract_mesh_frame_freq == 0
+            or frame_id in self._extract_mesh_frames
+        ):
+            mesh = self.extract_mesh(
+                self._out_dir / "eval_data" / f"mesh_{frame_id:06d}.ply"
+                if self._store_intermediate_meshes
+                else None
+            )
+            if mesh is not None and self._rerun is not None and self._rerun.enabled:
+                self._rerun.log_mesh(mesh)
+
+    def _log_renders(self, frame_id: int) -> None:
+        """Periodic render-preview grid (reference run_mapping.py:1874-1906):
+        one row per configured render frame, RGB and depth columns, saved as
+        PNG under the run dir (and to wandb when available)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        preview_camera = self.dataset.camera.scaled_camera(0.25)
+        n = len(self._render_frames)
+        fig, ax = plt.subplots(n, 2, squeeze=False)
+        for i, frac in enumerate(self._render_frames):
+            fid = min(int(frac * (len(self.dataset) - 1)), frame_id)
+            c2w = np.asarray(self.dataset.get_slam_c2ws(fid, frame_id))
+            if not np.isfinite(c2w).all():
+                continue
+            rgbd, _ = self.engine.render_image(jnp.asarray(c2w), preview_camera)
+            rgbd = np.asarray(rgbd)
+            ax[i, 0].imshow(np.clip(rgbd[..., :3], 0, 1))
+            ax[i, 1].imshow(rgbd[..., 3], vmin=0.0, vmax=7.0)
+            ax[i, 0].axis("off")
+            ax[i, 1].axis("off")
+            if self._rerun is not None and self._rerun.enabled:
+                self._rerun.log_camera(
+                    c2w, preview_camera, rgbd=rgbd, name=f"camera_{i}"
+                )
+        previews = self._out_dir / "previews"
+        previews.mkdir(exist_ok=True)
+        fig.savefig(previews / f"render_{frame_id:06d}.png", dpi=100)
+        plt.close(fig)
 
     def _mesh_name(self) -> str:
         prefix = "aligned_" if self.gt_from_est is not None else ""
@@ -159,8 +282,11 @@ class NeuralGraphMapRunner:
 
     # -- evaluation ---------------------------------------------------------------
 
+    @profiling.benchmark
     def evaluate_frame(self, frame_id: int, at_frame_id: int) -> dict:
-        """Held-out frame render metrics (reference run_mapping.py:1976-2020)."""
+        """Held-out frame render metrics (reference run_mapping.py:1976-2020),
+        plus the eval artifact dump: side-by-side target|render PNG and a
+        tabulated ``details.txt`` (reference :2007-2015)."""
         c2w = self.dataset.get_slam_c2ws(frame_id, at_frame_id)
         rgbd, _ = self.engine.render_image(jnp.asarray(c2w), self.dataset.camera)
         target = jnp.asarray(self.dataset[frame_id]["rgbd"])
@@ -185,8 +311,34 @@ class NeuralGraphMapRunner:
                     )
                 except FileNotFoundError:
                     logger.warning("LPIPS weights unavailable; skipping lpips")
+
+        if self._eval_store_details and out:
+            img_name = f"{frame_id:06d}_{at_frame_id:06d}.png"
+            comparison = np.clip(
+                np.concatenate(
+                    [np.asarray(target[..., :3]), np.asarray(rgbd[..., :3])], axis=1
+                ),
+                0.0,
+                1.0,
+            )
+            eval_dir = self._out_dir / "eval_data"
+            eval_dir.mkdir(parents=True, exist_ok=True)
+            chunking.save_image(comparison, eval_dir / img_name)
+            self._eval_details.append(
+                [img_name] + [float(out.get(m, float("nan"))) for m in self._eval_render_metrics]
+            )
+            import tabulate
+
+            with open(eval_dir / "details.txt", "w") as f:
+                f.write(
+                    tabulate.tabulate(
+                        self._eval_details,
+                        headers=["filename", *self._eval_render_metrics],
+                    )
+                )
         return out
 
+    @profiling.benchmark
     def evaluate_chunk(self, chunk: dict) -> None:
         if self._disable_eval or not chunk["eval_frame_ids"]:
             return
@@ -196,6 +348,7 @@ class NeuralGraphMapRunner:
         ]
         self._metric_dicts_for_chunks.append(mean_metric_dicts(dicts))
 
+    @profiling.benchmark
     def evaluate_full(self) -> None:
         """Final metrics (reference run_mapping.py:1920-1964)."""
         if self._disable_eval:
@@ -242,6 +395,7 @@ class NeuralGraphMapRunner:
 
     # -- meshing -------------------------------------------------------------------
 
+    @profiling.benchmark
     def extract_mesh(self, path, resolution: Optional[float] = None, min_iterations: int = 50):
         e = self.engine
         ti = np.asarray(e._map_arrays.training_iterations)

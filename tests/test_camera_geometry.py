@@ -77,6 +77,47 @@ class TestCamera:
         assert bool((dists >= near[:, None]).all())
         assert bool((dists <= far[:, None]).all())
 
+    def test_sample_weighted_bins(self):
+        """Weighted-bin mode (reference camera.py:278-288): samples land only
+        in positive-weight bins, uniformly within each, at bin frequencies
+        matching the weights."""
+        cam = make_camera()
+        key = jax.random.PRNGKey(2)
+        ijs = jnp.zeros((2, 2))
+        boundaries = jnp.broadcast_to(
+            jnp.asarray([1.0, 2.0, 3.0, 4.0]), (2, 4)
+        )
+        weights = jnp.broadcast_to(jnp.asarray([0.5, 0.0, 0.5]), (2, 3))
+        pts, dists = cam.sample_ijs_uniform(
+            key, ijs, 512, weights=weights, boundaries=boundaries
+        )
+        assert pts.shape == (2, 512, 3) and dists.shape == (2, 512)
+        d = np.asarray(dists)
+        assert (d >= 1.0).all() and (d <= 4.0).all()
+        # zero-weight middle bin receives (almost) nothing
+        mid = ((d > 2.0) & (d < 3.0)).mean()
+        assert mid < 0.01
+        # ~half the mass in each outer bin
+        lo = (d <= 2.0).mean()
+        assert 0.4 < lo < 0.6
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(pts), axis=-1), d, atol=1e-5
+        )
+
+    def test_sample_weighted_requires_both(self):
+        cam = make_camera()
+        try:
+            cam.sample_ijs_uniform(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 2)),
+                4,
+                weights=jnp.ones((1, 3)) / 3,
+            )
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
 
 class TestGeometry:
     def test_aabbs_intersect(self):

@@ -176,11 +176,76 @@ class TestRenderMetrics:
         b = jnp.zeros((20, 20, 3))
         assert render_metrics.psnr(a, b, crop=2) > 60
 
-    def test_lpips_gated_without_weights(self):
+    def test_lpips_gated_without_weights(self, monkeypatch):
         import jax.numpy as jnp
 
+        monkeypatch.delenv("NGM_LPIPS_WEIGHTS", raising=False)
+        render_metrics._lpips_weights.cache_clear()
         with pytest.raises(FileNotFoundError):
             render_metrics.lpips(jnp.zeros((16, 16, 3)), jnp.zeros((16, 16, 3)))
+
+    def test_lpips_matches_torch_reference(self, tmp_path, monkeypatch):
+        """Cross-validate the jnp LPIPS pipeline against an independent torch
+        implementation of torchmetrics' AlexNet-LPIPS (evaluation.py:15-17,
+        33-43) with identical synthetic weights. Real pretrained weights
+        (shipped via NGM_LPIPS_WEIGHTS) then drop in without code changes."""
+        import jax.numpy as jnp
+        import torch
+        import torch.nn.functional as F
+
+        rng = np.random.default_rng(0)
+        shapes = {
+            "conv0_w": (8, 3, 11, 11), "conv1_w": (16, 8, 5, 5),
+            "conv2_w": (24, 16, 3, 3), "conv3_w": (16, 24, 3, 3),
+            "conv4_w": (16, 16, 3, 3),
+        }
+        arrays = {}
+        for name, shape in shapes.items():
+            arrays[name] = rng.normal(0, 0.2, shape).astype(np.float32)
+            arrays[name.replace("_w", "_b")] = rng.normal(
+                0, 0.1, shape[0]
+            ).astype(np.float32)
+        for i, c in enumerate([8, 16, 24, 16, 16]):
+            arrays[f"lin{i}_w"] = np.abs(
+                rng.normal(0, 0.2, (1, c, 1, 1))
+            ).astype(np.float32)
+        path = tmp_path / "lpips_test.npz"
+        np.savez(path, **arrays)
+        monkeypatch.setenv("NGM_LPIPS_WEIGHTS", str(path))
+        render_metrics._lpips_weights.cache_clear()
+
+        a = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.1, a.shape), 0, 1).astype(np.float32)
+
+        def torch_feats(img):
+            shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+            scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+            x = torch.from_numpy(img).permute(2, 0, 1)[None]
+            x = (2.0 * x - 1.0 - shift) / scale
+            cfg = [(4, 2, True), (1, 2, True), (1, 1, False),
+                   (1, 1, False), (1, 1, False)]
+            feats = []
+            for i, (stride, pad, pool) in enumerate(cfg):
+                w = torch.from_numpy(arrays[f"conv{i}_w"])
+                bias = torch.from_numpy(arrays[f"conv{i}_b"])
+                x = F.relu(F.conv2d(x, w, bias, stride=stride, padding=pad))
+                feats.append(x)
+                if pool:
+                    x = F.max_pool2d(x, 3, stride=2)
+            return feats
+
+        fa, fb = torch_feats(a), torch_feats(b)
+        expected = 0.0
+        for i, (xa, xb) in enumerate(zip(fa, fb)):
+            na = xa / (xa.norm(dim=1, keepdim=True) + 1e-10)
+            nb = xb / (xb.norm(dim=1, keepdim=True) + 1e-10)
+            lin = torch.from_numpy(arrays[f"lin{i}_w"])
+            expected += ((na - nb) ** 2 * lin).sum(dim=1).mean().item()
+
+        got = render_metrics.lpips(jnp.asarray(a), jnp.asarray(b))
+        render_metrics._lpips_weights.cache_clear()
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+        assert got > 0.0
 
 
 class TestCulling:
