@@ -195,12 +195,12 @@ def expert_eval(
         outs: (M, out_dim), zeros for dropped pairs.
         kept: (M,) bool.
     """
-    m = points.shape[0]
+    m, dim = points.shape
     slot, kept, _ = dispatch_indices(expert_ids, pair_valid, num_experts, capacity)
 
-    buf_pts = jnp.zeros((num_experts * capacity, 3), points.dtype)
+    buf_pts = jnp.zeros((num_experts * capacity, dim), points.dtype)
     buf_pts = buf_pts.at[slot].set(points, mode="drop")
-    buf_pts = buf_pts.reshape(num_experts, capacity, 3)
+    buf_pts = buf_pts.reshape(num_experts, capacity, dim)
 
     buf_out = jax.vmap(apply_fn)(stacked_params, buf_pts)  # (N, C, out_dim)
     buf_out = buf_out.reshape(num_experts * capacity, out_dim)

@@ -419,8 +419,17 @@ class NeuralGraphMapRunner:
 
     # -- checkpointing (reference run_mapping.py:2147-2173) -------------------------
 
-    def save_model(self, path: Optional[os.PathLike] = None) -> pathlib.Path:
+    def save_model(
+        self, path: Optional[os.PathLike] = None, full: Optional[bool] = None
+    ) -> pathlib.Path:
+        """Checkpoint the map. ``full=True`` additionally saves the online
+        bookkeeping (pose graph, kf->fields index, keyframe cache, slot
+        tables, frame counters) so ``load_model`` can RESUME mapping — the
+        reference's checkpoint (run_mapping.py:2147-2164) is render/mesh-only
+        and cannot. Defaults to the ``checkpoint_full`` config key."""
         path = pathlib.Path(path) if path else self._out_dir / f"{self.run_name}.npz"
+        if full is None:
+            full = bool(self.config.get("checkpoint_full", False))
         e = self.engine
         arrays = {f"params.{k}": np.asarray(v) for k, v in e._params.items()}
         arrays.update(
@@ -433,6 +442,32 @@ class NeuralGraphMapRunner:
                 "num_fields": np.asarray(e.num_fields),
             }
         )
+        if full:
+            state = {
+                "graph": {int(k): sorted(v) for k, v in e._graph.items()},
+                "kf2fields": {int(k): sorted(int(i) for i in v) for k, v in e._kf2fields.items()},
+                "kf_ids": sorted(e._kf_ids),
+                "last_update": e._last_update,
+                "frame_to_slot": {int(k): int(v) for k, v in e._frame_to_slot.items()},
+                "free_slots": list(e._free_slots),
+                "frames_processed": e._frames_processed,
+                "total_optimization_time": e._total_optimization_time,
+            }
+            arrays["resume.state_json"] = np.frombuffer(
+                json.dumps(state).encode(), dtype=np.uint8
+            )
+            if e._prev_kf2w_slots is not None:
+                arrays["resume.prev_kf2w_slots"] = e._prev_kf2w_slots
+            arrays["resume.cache_c2w"] = e._cache_c2w_np
+            arrays["resume.cache_valid"] = e._cache_valid_np
+            arrays["resume.bb_min"] = e._bb_min
+            arrays["resume.bb_max"] = e._bb_max
+            if e._cache_rgb is not None:
+                # bf16 -> fp16 is exact for [0, 1] imagery
+                arrays["resume.cache_rgb"] = np.asarray(
+                    e._cache_rgb.astype(jnp.float16)
+                )
+                arrays["resume.cache_depth"] = np.asarray(e._cache_depth)
         np.savez_compressed(path, **arrays)
 
         model_config = copy.deepcopy(self.config)
@@ -465,6 +500,32 @@ class NeuralGraphMapRunner:
         from neural_graph_mapping_tpu.mapping import optimizer
 
         e._adam = optimizer.init_adam_state(params)
+
+        if "resume.state_json" in data:  # full checkpoint: restore mapping state
+            state = json.loads(bytes(data["resume.state_json"]).decode())
+            e._graph = {int(k): set(v) for k, v in state["graph"].items()}
+            e._kf2fields = {
+                int(k): set(v) for k, v in state["kf2fields"].items()
+            }
+            e._kf_ids = set(state["kf_ids"])
+            e._last_update = state["last_update"]
+            e._frame_to_slot = {
+                int(k): int(v) for k, v in state["frame_to_slot"].items()
+            }
+            e._free_slots = list(state["free_slots"])
+            e._frames_processed = int(state["frames_processed"])
+            e._total_optimization_time = float(state["total_optimization_time"])
+            if "resume.prev_kf2w_slots" in data:
+                e._prev_kf2w_slots = data["resume.prev_kf2w_slots"]
+            e._cache_c2w_np = data["resume.cache_c2w"]
+            e._cache_valid_np = data["resume.cache_valid"]
+            e._bb_min = data["resume.bb_min"]
+            e._bb_max = data["resume.bb_max"]
+            if "resume.cache_rgb" in data:
+                e._cache_rgb = jnp.asarray(data["resume.cache_rgb"]).astype(
+                    jnp.bfloat16
+                )
+                e._cache_depth = jnp.asarray(data["resume.cache_depth"])
 
 
 def main(argv=None) -> None:

@@ -210,3 +210,78 @@ class TestNeuralFieldSet:
         o1 = fset.prototype.apply(fset.gather_fields(params, 1), local1)
         want = w[0] * np.asarray(o0) + w[1] * np.asarray(o1)
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+class TestNeuralFieldSet2D:
+    """2D (dim_points=2) field sets with complex-number rotations
+    (reference models.py:12-63, 236-243)."""
+
+    def _make(self):
+        return NeuralFieldSet(
+            dim_points=2,
+            field_type="neural_graph_mapping_tpu.models.fields.NeuralField",
+            field_kwargs=dict(
+                encoding_type=(
+                    "neural_graph_mapping_tpu.ops.encodings.PositionalEncodingFourier"
+                ),
+                encoding_kwargs=dict(
+                    dim_in=2, dim_out=16, mu=0.0, sigma=1.0, raw_coords=True
+                ),
+                num_layers=1,
+                dim_out=3,
+            ),
+            num_knn=2,
+            distance_factor=10.0,
+            outside_value=0.0,
+            field_radius=1.0,
+            scale_mode="unit_cube",
+        )
+
+    def test_apply_vmap_2d(self):
+        fset = self._make()
+        params = fset.init_fields(jax.random.PRNGKey(0), 2)
+        positions = jnp.asarray([[0.0, 0.0], [3.0, 0.0]])
+        orientations = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])  # identity
+        pts = jnp.zeros((2, 5, 2)).at[1].add(jnp.asarray([3.0, 0.0]))
+        out = fset.apply_vmap(params, pts, positions, orientations)
+        assert out.shape == (2, 5, 3)
+        # identical local coords but independent params -> different outputs
+        assert np.abs(np.asarray(out[0]) - np.asarray(out[1])).max() > 1e-6
+
+    def test_orientation_is_complex_rotation(self):
+        fset = self._make()
+        params = fset.init_fields(jax.random.PRNGKey(0), 1)
+        positions = jnp.zeros((1, 2))
+        theta = 0.7
+        rot = jnp.asarray([[np.cos(theta), np.sin(theta)]])  # e^{i theta}
+        pt = jnp.asarray([[0.3, 0.1]])
+        # evaluating a rotated field at a rotated point == unrotated at point
+        ident = jnp.asarray([[1.0, 0.0]])
+        base = fset.apply_vmap(params, pt[None], positions, ident)
+        c, s = np.cos(theta), np.sin(theta)
+        pt_rot = jnp.asarray([[c * 0.3 - s * 0.1, s * 0.3 + c * 0.1]])
+        rotated = fset.apply_vmap(params, pt_rot[None], positions, rot)
+        np.testing.assert_allclose(
+            np.asarray(rotated), np.asarray(base), atol=1e-5
+        )
+
+    def test_apply_knn_2d(self):
+        fset = self._make()
+        params = fset.init_fields(jax.random.PRNGKey(0), 3)
+        positions = jnp.asarray([[0.0, 0.0], [5.0, 0.0], [0.0, 5.0]])
+        orientations = jnp.tile(jnp.asarray([1.0, 0.0]), (3, 1))
+        valid = jnp.ones((3,), bool)
+        pts = jnp.asarray([[0.1, 0.0], [5.1, 0.0], [20.0, 20.0]])
+        out = fset.apply_knn(
+            params, pts, positions, orientations, valid, capacity=8
+        )
+        assert out.shape == (3, 3)
+        # far point -> outside_value
+        np.testing.assert_allclose(np.asarray(out[2]), 0.0, atol=1e-7)
+        # near points match direct single-field evaluation (weight ~1 on
+        # nearest; second neighbor is 5 units away -> softmax weight ~e-50)
+        direct0 = fset.prototype.apply(
+            fset.gather_fields(params, 0),
+            fset._scale_local_points(pts[0] - positions[0]),
+        )
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(direct0), atol=1e-5)

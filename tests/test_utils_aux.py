@@ -1,5 +1,7 @@
 """Tests for auxiliary utils: chunking, profiling, observability."""
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,3 +65,52 @@ class TestObservability:
         assert not wl.enabled
         wl.log({"x": 1.0})  # no crash
         wl.finish()
+
+
+class TestFieldEditing:
+    """Checkpoint field-pose editing with write-back (the headless analog of
+    the reference's draggable Blender spheres, vis_blender.py:149-170)."""
+
+    def _map(self):
+        from neural_graph_mapping_tpu.mapping import map_state
+
+        m = map_state.init_map_arrays(4)
+        m = m._replace(
+            positions=jnp.arange(12, dtype=jnp.float32).reshape(4, 3),
+            orientations=jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (4, 1)),
+        )
+        return m
+
+    def test_set_position(self):
+        from neural_graph_mapping_tpu.vis.vis_checkpoint import edit_fields
+
+        m = edit_fields(self._map(), [{"field_id": 1, "position": [9, 9, 9]}], 4)
+        np.testing.assert_allclose(np.asarray(m.positions[1]), [9, 9, 9])
+        np.testing.assert_allclose(np.asarray(m.positions[0]), [0, 1, 2])
+
+    def test_translate_many(self):
+        from neural_graph_mapping_tpu.vis.vis_checkpoint import edit_fields
+
+        m = edit_fields(
+            self._map(), [{"field_ids": [0, 2], "translate": [1, 0, 0]}], 4
+        )
+        np.testing.assert_allclose(np.asarray(m.positions[0]), [1, 1, 2])
+        np.testing.assert_allclose(np.asarray(m.positions[2]), [7, 7, 8])
+        np.testing.assert_allclose(np.asarray(m.positions[1]), [3, 4, 5])
+
+    def test_rigid_transform_rotates_orientation(self):
+        from neural_graph_mapping_tpu.vis.vis_checkpoint import edit_fields
+
+        t = np.eye(4, dtype=np.float32)
+        t[:3, :3] = [[0, -1, 0], [1, 0, 0], [0, 0, 1]]  # 90deg about z
+        m = edit_fields(self._map(), [{"field_id": 0, "transform": t}], 4)
+        np.testing.assert_allclose(np.asarray(m.positions[0]), [-1, 0, 2], atol=1e-6)
+        q = np.asarray(m.orientations[0])
+        s = np.sin(np.pi / 4)
+        np.testing.assert_allclose(np.abs(q), [s, 0, 0, s], atol=1e-6)
+
+    def test_out_of_range_rejected(self):
+        from neural_graph_mapping_tpu.vis.vis_checkpoint import edit_fields
+
+        with pytest.raises(ValueError):
+            edit_fields(self._map(), [{"field_id": 7, "position": [0, 0, 0]}], 4)
