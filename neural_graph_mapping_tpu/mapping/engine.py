@@ -519,10 +519,15 @@ class NeuralGraphMap:
             )
         )
         # span-restricted render path: samples are placed only inside the
-        # per-ray field-intersection interval, so far fewer are needed for the
-        # same (or better) spacing than the reference's full-range count
+        # per-ray field-intersection interval, so fewer are needed for the
+        # same (or better) spacing than the reference's full-range count.
+        # The count must keep spacing near the TRAIN guided spacing
+        # (2*range_depth_guided/num_samples_depth_guided ~ 1.25 cm): the
+        # trained occupancy profile compensates compositing bias at that
+        # discretization, and rendering it coarser shifts expected depth
+        # backward ~10 cm and costs ~2 dB (measured; see STATUS.md).
         self._eval_span_samples = int(
-            min(self._eval_num_samples, int(c.get("eval_span_samples", 256)))
+            min(self._eval_num_samples, int(c.get("eval_span_samples", 512)))
         )
 
         self._ocfg = optimizer.AdamConfig(
