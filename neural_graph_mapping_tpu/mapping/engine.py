@@ -87,7 +87,30 @@ def optimization_iteration(
         fset.field_radius,
         loss_cfg.num_rays_per_field,
     )
+    return _optimization_iteration_core(
+        fset, camera, rcfg, ocfg, loss_cfg, params, adam, training_iterations,
+        map_positions, map_orientations, target, k_render,
+    )
 
+
+def _optimization_iteration_core(
+    fset: NeuralFieldSet,
+    camera,
+    rcfg: render.RenderConfig,
+    ocfg: optimizer.AdamConfig,
+    loss_cfg: "LossConfig",
+    params,
+    adam: optimizer.AdamState,
+    training_iterations: jnp.ndarray,
+    map_positions: jnp.ndarray,
+    map_orientations: jnp.ndarray,
+    target: sampling.Target,
+    k_render: jax.Array,
+):
+    """Render + losses + per-field Adam for a pre-built target. Split out so
+    the per-frame scan can batch-build ALL iterations' targets up front
+    (target sampling never reads params, so it needn't sit on the sequential
+    param chain)."""
     sub_positions = map_positions[target.field_ids]
     sub_orientations = map_orientations[target.field_ids]
     sub_params = fset.gather_fields(params, target.field_ids)
@@ -140,7 +163,14 @@ def optimization_iterations_scan(
     """All per-frame optimization iterations fused into one program via
     lax.scan (each iteration resamples targets, exactly like the reference's
     per-iteration loop, run_mapping.py:1232-1233). Amortizes per-dispatch
-    overhead (~25 ms through the TPU relay) across the whole frame."""
+    overhead (~25 ms through the TPU relay) across the whole frame.
+
+    Note: batching all iterations' targets up front (they never read params)
+    was tried and MEASURED SLOWER on v5e (1.59M vs 1.97M rays/s) — the
+    materialized (I, F, R, ...) target arrays cost more HBM round-trips than
+    the fused in-body sampler; XLA already overlaps the sampler with the
+    param chain inside the scan body.
+    """
 
     def body(carry, sub_key):
         params, adam, ti = carry
