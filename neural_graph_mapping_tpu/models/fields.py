@@ -469,7 +469,7 @@ class NeuralFieldSet:
 
         feats = permuto_pallas.encode_fwd_moe(
             stacked_params["enc.table"], coords_stacked, tile_expert,
-            enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity,
+            enc._scales_t, enc._shifts_t, enc._elev_t, enc.level_capacities,
             interpret=interpret,
         )  # (num_tiles, 2L, tile)
 

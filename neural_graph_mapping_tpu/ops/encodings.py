@@ -96,6 +96,32 @@ class PermutohedralEncoding:
         self._scales_t = tuple(float(s) for s in self.scales)
         self._shifts_t = tuple(tuple(float(x) for x in row) for row in np.asarray(self._shifts))
         self._elev_t = tuple(float(e) for e in np.asarray(self._elev_scale))
+        # Per-level EFFECTIVE table sizes: coarse levels touch few lattice
+        # cells over the local unit domain, so their hash range shrinks to a
+        # dense power of two (collision-free) while storage stays (L, F, T)
+        # rectangular. Shortens the Pallas gather sweep on those levels and
+        # removes their collisions; fine levels stay at full capacity. (The
+        # reference's CUDA extension hashes every level at full T.)
+        if self.pos_dim == 3:
+            caps = []
+            shifts_np = np.asarray(self._shifts)
+            elev_np = np.asarray(self._elev_scale)
+            hashed = False  # once a level is hashed, all finer ones are too
+            for l, scale in enumerate(self._scales_t):
+                if hashed:
+                    caps.append(self.capacity)
+                    continue
+                n_cells = permuto.count_lattice_cells(scale, shifts_np[l], elev_np)
+                cap = 128
+                while cap < 2 * n_cells:  # 2x headroom over the probe count
+                    cap *= 2
+                if cap >= self.capacity:
+                    cap = self.capacity
+                    hashed = True
+                caps.append(cap)
+            self.level_capacities = tuple(caps)
+        else:
+            self.level_capacities = (self.capacity,) * self.nr_levels
 
     def get_out_dim(self) -> int:
         out = self.nr_levels * self.nr_feat_per_level
@@ -131,7 +157,7 @@ class PermutohedralEncoding:
             jnp.asarray(self.scales),
             self._shifts,
             self._elev_scale,
-            self.capacity,
+            self.level_capacities,
         )
 
     def apply_fm_soa(self, params: Params, coords) -> jnp.ndarray:
@@ -156,7 +182,7 @@ class PermutohedralEncoding:
             stacked = jnp.stack(coords, axis=0)  # (3, P): major-dim stack
             out = permuto.encode_fused(
                 table, stacked, self._scales_t, self._shifts_t, self._elev_t,
-                self.capacity,
+                self.level_capacities,
             )
             if self.concat_points:
                 out = jnp.concatenate(
@@ -167,7 +193,7 @@ class PermutohedralEncoding:
             return out
         idx, w = permuto.lattice_keys_and_weights_soa(
             coords, jnp.asarray(self.scales), self._shifts, self._elev_scale,
-            self.capacity,
+            self.level_capacities,
         )  # (L, K, P)
         out = permuto.gather_blend(table, idx, w)  # (L*F, P)
         if self.concat_points:

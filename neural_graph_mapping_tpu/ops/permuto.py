@@ -55,12 +55,70 @@ def make_elevation_scale(d: int) -> np.ndarray:
     ) * (d + 1)
 
 
+def normalize_capacities(capacity, n_levels: int) -> Tuple[int, ...]:
+    """An int capacity (uniform) or per-level tuple -> per-level tuple."""
+    if isinstance(capacity, (int, np.integer)):
+        return (int(capacity),) * n_levels
+    caps = tuple(int(c) for c in capacity)
+    assert len(caps) == n_levels
+    return caps
+
+
+def count_lattice_cells(
+    scale: float, shifts_row, elev_scale, domain: float = 1.3, max_cells: int = 1 << 15
+) -> int:
+    """Empirical count of distinct permutohedral cells one level touches over
+    the local domain [-domain, domain]^3 (numpy, init-time only).
+
+    Used to size per-level hash tables: coarse levels touch few cells, so
+    their tables can be DENSE (collision-free) and much smaller than the
+    hashed fine levels — shorter gather sweeps in the Pallas kernels and
+    fewer collisions. Probe resolution adapts to the cell size; levels too
+    fine to probe cheaply return ``max_cells`` (treat as hashed).
+    """
+    d = 3
+    n = int(2 * domain / max(scale * 0.45, 1e-9)) + 8
+    if n > 112:  # cells outnumber any practical dense table: hashed level
+        return max_cells
+    g = np.linspace(-domain, domain, n, dtype=np.float64)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    pts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    cfs = (pts / scale + np.asarray(shifts_row)[None, :]) * np.asarray(elev_scale)[None, :]
+    suffix = np.zeros((len(pts), d + 1))
+    for i in range(d - 1, -1, -1):
+        suffix[:, i] = suffix[:, i + 1] + cfs[:, i]
+    elevated = np.concatenate(
+        [suffix[:, :1], suffix[:, 1:] - np.arange(1, d + 1)[None] * cfs], axis=1
+    )
+    down = 1.0 / (d + 1)
+    rem0 = np.round(elevated * down) * (d + 1)
+    diff = elevated - rem0
+    rank = np.zeros_like(rem0, dtype=np.int64)
+    for i in range(d + 1):
+        for j in range(i + 1, d + 1):
+            smaller = diff[:, i] < diff[:, j]
+            rank[:, i] += smaller
+            rank[:, j] += ~smaller
+    s = np.round(rem0.sum(-1) * down).astype(np.int64)
+    r = rank + s[:, None]
+    rem0 = rem0 + np.where(r < 0, d + 1, 0) - np.where(r > d, d + 1, 0)
+    rank = r + np.where(r < 0, d + 1, 0) - np.where(r > d, d + 1, 0)
+    keys = set()
+    for k in range(d + 1):
+        offset = np.where(rank[:, :d] < (d + 1 - k), k, k - (d + 1))
+        key = rem0[:, :d].astype(np.int64) + offset
+        keys.update(map(tuple, key))
+        if len(keys) >= max_cells:
+            return max_cells
+    return len(keys)
+
+
 def lattice_keys_and_weights(
     points: jnp.ndarray,  # (P, d)
     scales: jnp.ndarray,  # (L,)
     shifts: jnp.ndarray,  # (L, d)
     elev_scale: jnp.ndarray,  # (d,)
-    capacity: int,
+    capacity,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Channels-last wrapper over :func:`lattice_keys_and_weights_soa`."""
     d = points.shape[-1]
@@ -73,7 +131,7 @@ def lattice_keys_and_weights_soa(
     scales: jnp.ndarray,  # (L,)
     shifts: jnp.ndarray,  # (L, d)
     elev_scale: jnp.ndarray,  # (d,)
-    capacity: int,
+    capacity,  # int (uniform) or per-level tuple
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Simplex corner hash indices and barycentric weights, points-minor.
 
@@ -136,6 +194,8 @@ def lattice_keys_and_weights_soa(
 
     # Hash the d+1 simplex corners: key_k[i] = rem0[i] + canonical[k][rank[i]],
     # canonical[k][r] = k if r < d+1-k else k-(d+1). Only first d coords hashed.
+    caps = normalize_capacities(capacity, rank[0].shape[0])
+    cap_mask = jnp.asarray([c - 1 for c in caps], dtype=jnp.uint32)[:, None]  # (L, 1)
     idx_corners = []
     for k in range(d + 1):
         h = jnp.zeros_like(rank[0], dtype=jnp.uint32)
@@ -143,7 +203,7 @@ def lattice_keys_and_weights_soa(
             offset = jnp.where(rank[i] < (d + 1 - k), k, k - (d + 1))
             key_i = rem0[i].astype(jnp.int32) + offset
             h = h ^ (key_i.astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[i]))
-        idx_corners.append((h & jnp.uint32(capacity - 1)).astype(jnp.int32))
+        idx_corners.append((h & cap_mask).astype(jnp.int32))
     idx = jnp.stack(idx_corners, axis=1)  # (L, d+1, P)
     return idx, w
 

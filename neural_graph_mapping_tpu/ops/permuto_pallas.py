@@ -147,15 +147,18 @@ def _encode_fwd_kernel(
     """
     del mxu_dtype  # fwd no longer uses the MXU
     n_levels = len(scales)
-    n_chunks = tab_ref.shape[-2]  # tables padded to a multiple of 128 lanes
     rows = TILE_M // N_LANE
-    mask = jnp.uint32(t_size - 1)
+    t_sizes = (t_size,) * n_levels if isinstance(t_size, int) else t_size
 
     xs = coords_ref[0, 0]  # (rows, 128)
     ys = coords_ref[0, 1]
     zs = coords_ref[0, 2]
     levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
     for l in range(n_levels):
+        # per-level table size: coarse levels are DENSE (few lattice cells)
+        # and sweep only t_sizes[l]/128 chunks instead of the full table
+        mask = jnp.uint32(t_sizes[l] - 1)
+        n_chunks_l = max(t_sizes[l] // N_LANE, 1)
         out0 = jnp.zeros((rows, N_LANE), jnp.float32)
         out1 = jnp.zeros((rows, N_LANE), jnp.float32)
         tab0 = tab_ref[0, l, 0]  # (n_chunks, 128)
@@ -166,7 +169,7 @@ def _encode_fwd_kernel(
             chunk = idx >> 7  # log2(N_LANE)
             f0 = jnp.zeros((rows, N_LANE), jnp.float32)
             f1 = jnp.zeros((rows, N_LANE), jnp.float32)
-            for r in range(n_chunks):
+            for r in range(n_chunks_l):
                 row0 = jnp.broadcast_to(tab0[r : r + 1], (rows, N_LANE))
                 row1 = jnp.broadcast_to(tab1[r : r + 1], (rows, N_LANE))
                 g0 = jnp.take_along_axis(row0, lane, axis=1)
@@ -191,10 +194,10 @@ def _encode_bwd_kernel(
     coords_ref: (1, 3, TILE_M). g_ref: (1, 2*L, TILE_M).
     """
     n_levels = len(scales)
-    n_hi = t_size // N_LO
+    t_sizes = (t_size,) * n_levels if isinstance(t_size, int) else t_size
+    n_hi = max(t_sizes) // N_LO
     hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, TILE_M), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
-    mask = jnp.uint32(t_size - 1)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -205,6 +208,9 @@ def _encode_bwd_kernel(
     zs = coords_ref[0, 2, :].reshape(1, TILE_M)
     levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
     for l in range(n_levels):
+        # per-level hash mask (must mirror the fwd kernel); indices land in
+        # the low t_sizes[l] entries so the full-height one-hot is correct
+        mask = jnp.uint32(t_sizes[l] - 1)
         g0 = g_ref[0, 2 * l, :].reshape(1, TILE_M)
         g1 = g_ref[0, 2 * l + 1, :].reshape(1, TILE_M)
         # both features share one (n_hi, M) x (M, 2*N_LO) contraction: a
@@ -268,17 +274,18 @@ def encode_fwd_moe(
     mxu_dtype = MXU_DTYPE if mxu_dtype is None else mxu_dtype
     n = tables.shape[0]
     n_levels = len(scales)
+    t_max = t_size if isinstance(t_size, int) else max(t_size)
     rows = TILE_M // N_LANE
     num_tiles = coords.shape[0]
     assert coords.shape == (num_tiles, 3, TILE_M)
     coords_f = coords.reshape(num_tiles, 3, rows, N_LANE)
-    tab = tables.reshape(n, n_levels, 2, t_size)
-    t_pad = (-t_size) % N_LANE
+    tab = tables.reshape(n, n_levels, 2, t_max)
+    t_pad = (-t_max) % N_LANE
     if t_pad:
         tab = jnp.concatenate(
             [tab, jnp.zeros((n, n_levels, 2, t_pad), tab.dtype)], axis=-1
         )
-    n_chunks = (t_size + t_pad) // N_LANE
+    n_chunks = (t_max + t_pad) // N_LANE
     tab = tab.reshape(n, n_levels, 2, n_chunks, N_LANE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -312,7 +319,7 @@ def encode_fwd_moe(
         cost_estimate=pl.CostEstimate(
             flops=num_tiles * n_levels * 4 * TILE_M * (3 * n_chunks + 4),
             bytes_accessed=num_tiles * (TILE_M * 12 + 2 * n_levels * TILE_M * 4)
-            + n * n_levels * t_size * 8,
+            + n * n_levels * t_max * 8,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -407,6 +414,7 @@ def encode_fwd(
     lead = coords.shape[:-2]
     p = coords.shape[-1]
     n_levels = len(scales)
+    t_max = t_size if isinstance(t_size, int) else max(t_size)
     rows = TILE_M // N_LANE
     b = 1
     for s in lead:
@@ -420,13 +428,13 @@ def encode_fwd(
         )
     m = num_tiles * TILE_M
     coords_f = coords_f.reshape(b, 3, m // N_LANE, N_LANE)
-    tab_f = table.reshape(b, n_levels, 2, t_size)
-    t_pad = (-t_size) % N_LANE  # tiny test tables: pad to the gather width
+    tab_f = table.reshape(b, n_levels, 2, t_max)
+    t_pad = (-t_max) % N_LANE  # tiny test tables: pad to the gather width
     if t_pad:
         tab_f = jnp.concatenate(
             [tab_f, jnp.zeros((b, n_levels, 2, t_pad), tab_f.dtype)], axis=-1
         )
-    n_chunks = (t_size + t_pad) // N_LANE
+    n_chunks = (t_max + t_pad) // N_LANE
     tab_f = tab_f.reshape(b, n_levels, 2, n_chunks, N_LANE)
 
     out = pl.pallas_call(
@@ -454,7 +462,7 @@ def encode_fwd(
         ),
         cost_estimate=pl.CostEstimate(
             flops=b * n_levels * 4 * m * (3 * n_chunks + 4),
-            bytes_accessed=b * (m * 12 + n_levels * t_size * 8 + 2 * n_levels * m * 4),
+            bytes_accessed=b * (m * 12 + n_levels * t_max * 8 + 2 * n_levels * m * 4),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -476,7 +484,8 @@ def encode_bwd_table(
     lead = coords.shape[:-2]
     p = coords.shape[-1]
     n_levels = len(scales)
-    n_hi = t_size // N_LO
+    t_max = t_size if isinstance(t_size, int) else max(t_size)
+    n_hi = t_max // N_LO
     b = 1
     for s in lead:
         b *= s
@@ -512,8 +521,8 @@ def encode_bwd_table(
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_levels, 2, n_hi, N_LO), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_levels * 4 * 2 * m * t_size,
-            bytes_accessed=b * (m * 12 + 2 * n_levels * m * 4 + n_levels * t_size * 8),
+            flops=2 * b * n_levels * 4 * 2 * m * t_max,
+            bytes_accessed=b * (m * 12 + 2 * n_levels * m * 4 + n_levels * t_max * 8),
             transcendentals=0,
         ),
         interpret=interpret,
