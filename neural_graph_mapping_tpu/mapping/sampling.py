@@ -299,7 +299,7 @@ def sample_target_sv(
     field_radius: float,
     num_train_fields: int,
     num_rays_per_field: int,
-    num_cloud_points: int = 4096,
+    num_cloud_points: int = 16384,
 ) -> Target:
     """Single-view target sampler (run_mapping.py:1463-1583).
 
@@ -307,7 +307,9 @@ def sample_target_sv(
     field spheres, picks fields with enough intersecting rays, then samples
     rays per field from its intersecting segments. Static-shape version: the
     reference's 50k-point cloud is subsampled to ``num_cloud_points`` (the
-    sphere tests are dense (N_cap x points) matrices).
+    sphere tests are dense (N_cap x points) matrices; per-field ray draws
+    use inverse-CDF binary search so cost stays O(F*R*log P) instead of the
+    (F, R, P) Gumbel blow-up that previously capped the cloud at 4096).
     """
     f, r = num_train_fields, num_rays_per_field
     k_cloud, k_fields, k_rays = jax.random.split(key, 3)
@@ -332,9 +334,16 @@ def sample_target_sv(
     field_ids, field_valid = masked_choice_without_replacement(k_fields, eligible, f)
 
     field_hits = intersects[field_ids]  # (F, P)
-    seg_logits = jnp.where(field_hits, 0.0, -jnp.inf)
-    safe = jnp.where(field_valid[:, None], seg_logits, 0.0)
-    segments = jax.random.categorical(k_rays, safe[:, None, :], shape=(f, r))
+    # uniform draw (with replacement) over each field's intersecting
+    # segments: inverse-CDF + batched binary search
+    w = jnp.where(field_valid[:, None], field_hits, True).astype(jnp.float32)
+    cdf = jnp.cumsum(w, axis=-1)  # (F, P)
+    u = jax.random.uniform(k_rays, (f, r)) * cdf[:, -1:]
+    segments = jnp.clip(
+        jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u),
+        0,
+        w.shape[-1] - 1,
+    )
 
     target_ijs = pt_ijs[segments]  # (F, R, 2)
     dirs = camera.ijs_to_directions(target_ijs.astype(jnp.float32))
