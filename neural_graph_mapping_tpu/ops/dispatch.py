@@ -146,8 +146,12 @@ def tiled_dispatch_indices(
     Returns:
         slot: (M,) int32 position in the flat (num_tiles * tile,) buffer, or
             num_tiles * tile for invalid pairs (out of range — use mode="drop").
-        tile_expert: (num_tiles,) int32 owning expert per tile (0 for unused
-            trailing tiles; their buffer slots are never read back).
+        tile_expert: (num_tiles,) int32 owning expert per tile. Unused
+            trailing tiles map to expert ``num_experts - 1`` (the searchsorted
+            result is clipped); their buffer slots are never read back, but
+            the static-grid Pallas kernel does DMA+evaluate them against the
+            last expert's table — dead work, consider ``pl.when`` masking if
+            it shows in profiles.
         num_used_tiles: () int32 tiles actually occupied.
     """
     m = expert_ids.shape[0]

@@ -98,10 +98,12 @@ class PermutohedralEncoding:
         self._elev_t = tuple(float(e) for e in np.asarray(self._elev_scale))
         # Per-level EFFECTIVE table sizes: coarse levels touch few lattice
         # cells over the local unit domain, so their hash range shrinks to a
-        # dense power of two (collision-free) while storage stays (L, F, T)
-        # rectangular. Shortens the Pallas gather sweep on those levels and
-        # removes their collisions; fine levels stay at full capacity. (The
-        # reference's CUDA extension hashes every level at full T.)
+        # power of two with 2x headroom over the probed cell count — low-
+        # collision (indices are still XOR-multiply hashes masked to the
+        # range, not injective), while storage stays (L, F, T) rectangular.
+        # Shortens the Pallas gather sweep on those levels; fine levels stay
+        # at full capacity. (The reference's CUDA extension hashes every
+        # level at full T.)
         if self.pos_dim == 3:
             caps = []
             shifts_np = np.asarray(self._shifts)

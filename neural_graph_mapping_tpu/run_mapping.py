@@ -468,6 +468,16 @@ class NeuralGraphMapRunner:
                     e._cache_rgb.astype(jnp.float16)
                 )
                 arrays["resume.cache_depth"] = np.asarray(e._cache_depth)
+            # Optimizer state: without it a resumed run restarts Adam warmup
+            # (zeroed moments, bias-correction t back at 1) on already-trained
+            # fields, diverging from an uninterrupted run.
+            for k, v in e._adam.m.items():
+                arrays[f"resume.adam_m.{k}"] = np.asarray(v)
+            for k, v in e._adam.v.items():
+                arrays[f"resume.adam_v.{k}"] = np.asarray(v)
+            arrays["resume.adam_steps"] = np.asarray(e._adam.steps)
+            arrays["resume.rng_key"] = np.asarray(e._key)
+            arrays["resume.base_key"] = np.asarray(e._base_key)
         np.savez_compressed(path, **arrays)
 
         model_config = copy.deepcopy(self.config)
@@ -526,6 +536,23 @@ class NeuralGraphMapRunner:
                     jnp.bfloat16
                 )
                 e._cache_depth = jnp.asarray(data["resume.cache_depth"])
+            if "resume.adam_steps" in data:
+                e._adam = optimizer.AdamState(
+                    m={
+                        k[len("resume.adam_m."):]: jnp.asarray(v)
+                        for k, v in data.items()
+                        if k.startswith("resume.adam_m.")
+                    },
+                    v={
+                        k[len("resume.adam_v."):]: jnp.asarray(v)
+                        for k, v in data.items()
+                        if k.startswith("resume.adam_v.")
+                    },
+                    steps=jnp.asarray(data["resume.adam_steps"]),
+                )
+            if "resume.rng_key" in data:
+                e._key = jnp.asarray(data["resume.rng_key"])
+                e._base_key = jnp.asarray(data["resume.base_key"])
 
 
 def enable_compilation_cache() -> None:

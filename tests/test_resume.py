@@ -69,6 +69,20 @@ def test_full_checkpoint_resume(tmp_path):
         np.asarray(e2._cache_rgb.astype(jnp.float32)),
         np.asarray(e._cache_rgb.astype(jnp.float32)),
     )
+    # optimizer state round-trips: moments and per-field steps, so a resumed
+    # run does NOT restart Adam warmup on already-trained fields
+    np.testing.assert_array_equal(
+        np.asarray(e2._adam.steps), np.asarray(e._adam.steps)
+    )
+    assert np.asarray(e._adam.steps).max() > 0
+    for k in e._adam.m:
+        np.testing.assert_array_equal(
+            np.asarray(e2._adam.m[k]), np.asarray(e._adam.m[k])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(e2._adam.v[k]), np.asarray(e._adam.v[k])
+        )
+    np.testing.assert_array_equal(np.asarray(e2._key), np.asarray(e._key))
 
     # and mapping CONTINUES from the checkpoint
     for fid in range(6, 10):
