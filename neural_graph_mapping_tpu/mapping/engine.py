@@ -71,6 +71,12 @@ def optimization_iteration(
     """One fused multi-view optimization iteration (run_mapping.py:1124-1221)."""
     k_sel, k_sample, k_render = jax.random.split(key, 3)
 
+    if loss_cfg.single_field_id is not None:
+        only = (
+            jnp.arange(allocated_mask.shape[0]) == loss_cfg.single_field_id
+        )
+        allocated_mask = allocated_mask & only
+        observed_mask = observed_mask & only
     field_ids, field_valid = sampling.select_target_fields(
         k_sel, observed_mask, allocated_mask, num_train_fields
     )
@@ -132,6 +138,14 @@ def _optimization_iteration_core(
     return new_params, new_adam, new_training_iterations, loss_dict
 
 
+# NOTE (r3 negative result): jit(in_shardings=out_shardings=Format(Layout.AUTO))
+# on the hot per-frame programs removed the donated-table boundary relayout
+# copies and measured +4% on the bench — but crashes in production
+# ("INVALID_ARGUMENT" at launch) as soon as a DIFFERENT program (field
+# allocation / capacity growth) produces the params between frames in the
+# default layout. Fixed at the root instead: the table leaf is (N, 2, L, T)
+# (feature axis MAJOR), whose default layout tiles the (L, T) minor matrix
+# T(8,128) — exactly the layout every consumer wants, so no relayouts exist.
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -355,6 +369,7 @@ class LossConfig:
         freespace_weight: float = 40.0,
         tsdf_weight: float = 50.0,
         num_rays_per_field: int = 512,
+        single_field_id: Optional[int] = None,
     ) -> None:
         self.termination_weight = termination_weight
         self.photometric_weight = photometric_weight
@@ -364,9 +379,15 @@ class LossConfig:
         self.freespace_weight = freespace_weight
         self.tsdf_weight = tsdf_weight
         self.num_rays_per_field = num_rays_per_field
+        # Debug filter (reference run_mapping.py:1156-1160): the reference
+        # SKIPS iterations whose target doesn't include the chosen field;
+        # here selection is RESTRICTED to it (same intent — watch one field
+        # train — without wasting the fused-iteration dispatch).
+        self.single_field_id = single_field_id
         self._key = (
             termination_weight, photometric_weight, photometric_loss, depth_weight,
             depth_loss, freespace_weight, tsdf_weight, num_rays_per_field,
+            single_field_id,
         )
 
     def __hash__(self):
@@ -574,6 +595,11 @@ class NeuralGraphMap:
             freespace_weight=float(c.get("freespace_weight", 40.0)),
             tsdf_weight=float(c.get("tsdf_weight", 50.0)),
             num_rays_per_field=int(c.get("num_rays_per_field", 512)),
+            single_field_id=(
+                int(c["single_field_id"])
+                if c.get("single_field_id") is not None
+                else None
+            ),
         )
         self._num_train_fields = int(c.get("num_train_fields", 32))
         self._pixel_block_size = int(c.get("pixel_block_size", 8192))

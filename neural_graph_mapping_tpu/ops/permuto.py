@@ -10,7 +10,7 @@ choices (measured on v5e):
    VPU lanes idle (~27 ms for 400k lattice embeddings; this layout ~100x
    less).
 
-2. **Feature-major tables.** Hash tables are stored ``(L, F, T)`` — features
+2. **Feature-major tables.** Hash tables are stored ``(F, L, T)`` — features
    MAJOR, table index minor — so neither the forward gather nor the backward
    histogram ever needs a minor-dimension-2 transpose. (A single
    ``moveaxis(..., -1, 1)`` on the gradient values measured **35 ms** on v5e;
@@ -210,7 +210,8 @@ def lattice_keys_and_weights_soa(
 
 # ---------------------------------------------------------------------------
 # Gather + blend with scatter-free custom VJP.
-# Tables are feature-major: (L, F, T).
+# Tables are feature-major: (F, L, T) (feature axis MAJOR so the
+# default layout tiles the (L, T) minor matrix T(8,128); see encodings.init).
 # ---------------------------------------------------------------------------
 
 
@@ -222,23 +223,27 @@ def _use_pallas() -> bool:
 
 
 def _gathered_feats(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table (L, F, T), idx (L, K, P) -> feats (L, F, K, P).
+    """table (F, L, T), idx (L, K, P) -> feats (L, F, K, P).
 
     On TPU uses the Pallas one-hot-matmul lookup kernel — XLA's native gather
     for 2-float rows measures ~295 ms at the training shape vs ~1-2 ms for
-    the kernel (see ops/permuto_pallas.py).
+    the kernel (see ops/permuto_pallas.py). The swap to the kernel's
+    per-(level) (2, T) contract is an edge transpose on this non-hot path
+    (the production encode uses the fused kernels, not gather_blend).
     """
     l, k, p = idx.shape
     if _use_pallas():
         from neural_graph_mapping_tpu.ops import permuto_pallas
 
-        feats = permuto_pallas.gather_pairs(table, idx.reshape(l, k * p))
+        feats = permuto_pallas.gather_pairs(
+            jnp.swapaxes(table, 0, 1), idx.reshape(l, k * p)
+        )
         return feats.reshape(l, 2, k, p)
 
     def per_level(tab_l, idx_l):  # (F, T), (K, P)
         return jnp.take(tab_l, idx_l, axis=1)  # (F, K, P)
 
-    return jax.vmap(per_level)(table, idx)
+    return jax.vmap(per_level, in_axes=(1, 0))(table, idx)
 
 
 def _blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -250,10 +255,10 @@ def _blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def gather_blend(table: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """out[l*F + f, p] = sum_k table[l, f, idx[l, k, p]] * w[l, k, p].
+    """out[l*F + f, p] = sum_k table[f, l, idx[l, k, p]] * w[l, k, p].
 
     Args:
-        table: (L, F, T) feature-major hash tables.
+        table: (F, L, T) feature-MAJOR hash tables (see encodings init).
         idx: (L, K, P) int32 corner indices.
         w: (L, K, P) barycentric blend weights.
 
@@ -284,7 +289,7 @@ def _table_grad_fallback(idx, gv, table_size):
 
 def _gather_blend_bwd(res, g):
     table, idx, w = res
-    L, F, T = table.shape
+    F, L, T = table.shape
     _, K, P = idx.shape
 
     # cotangent g arrives feature-major (L*F, P): reshape only, no transpose
@@ -303,7 +308,8 @@ def _gather_blend_bwd(res, g):
         grad_table = permuto_pallas.table_grad(idx.reshape(L, K * P), gv, T)
     else:
         grad_table = _table_grad_fallback(idx, gv, T)
-    return grad_table, None, grad_w
+    # kernel emits per-level (L, F, T); param layout is feature-major (F, L, T)
+    return jnp.swapaxes(grad_table, 0, 1), None, grad_w
 
 
 gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
@@ -323,7 +329,7 @@ gather_blend.defvjp(_gather_blend_fwd, _gather_blend_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def encode_fused(table, coords, scales, shifts, elev, t_size):
-    """table (..., L, 2, T), coords (..., 3, P) -> (..., 2L, P)."""
+    """table (..., 2, L, T) feature-major, coords (..., 3, P) -> (..., 2L, P)."""
     from neural_graph_mapping_tpu.ops import permuto_pallas
 
     return permuto_pallas.encode_fwd(table, coords, scales, shifts, elev, t_size)

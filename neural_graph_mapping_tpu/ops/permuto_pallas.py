@@ -151,7 +151,8 @@ def _encode_fwd_kernel(
     applies (MXU_DTYPE); master tables stay f32.
 
     Packed: tab_ref (1, L, T // 128, 128) int32. Exact (mxu_dtype=float32):
-    tab_ref (1, L, 2, T // 128, 128) f32. coords_ref:
+    tab_ref (1, 2, L, T // 128, 128) f32 (feature axis MAJOR, matching the
+    canonical (2, L, T) param layout). coords_ref:
     (1, 3, TILE_M // 128, 128). out_ref: (1, 2*L, TILE_M // 128, 128)
     feature-major blended features.
     """
@@ -175,8 +176,8 @@ def _encode_fwd_kernel(
         if packed:
             tabp = tab_ref[0, l]  # (n_chunks, 128) int32 bf16-pairs
         else:
-            tab0 = tab_ref[0, l, 0]  # (n_chunks, 128)
-            tab1 = tab_ref[0, l, 1]
+            tab0 = tab_ref[0, 0, l]  # (n_chunks, 128)
+            tab1 = tab_ref[0, 1, l]
         for h_bits, w in levels[l]:
             idx = (h_bits & mask).astype(jnp.int32)
             lane = idx & (N_LANE - 1)
@@ -211,8 +212,9 @@ def _encode_bwd_kernel(
 ):
     """Fused backward: recompute lattice, histogram w * g into table grads.
 
-    Grid = (batch, point-tiles); the (1, L, 2, n_hi, N_LO) output block is
-    revisited across the tile dimension and accumulated in VMEM.
+    Grid = (batch, point-tiles); the (1, 2, L, n_hi, N_LO) output block
+    (feature-major, mirroring the (2, L, T) param layout) is revisited
+    across the tile dimension and accumulated in VMEM.
 
     coords_ref: (1, 3, TILE_M). g_ref: (1, 2*L, TILE_M).
     """
@@ -224,21 +226,29 @@ def _encode_bwd_kernel(
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        out_ref[0, :, :, :, :] = jnp.zeros((n_levels, 2, n_hi, N_LO), jnp.float32)
+        out_ref[0, :, :, :, :] = jnp.zeros((2, n_levels, n_hi, N_LO), jnp.float32)
 
     xs = coords_ref[0, 0, :].reshape(1, TILE_M)
     ys = coords_ref[0, 1, :].reshape(1, TILE_M)
     zs = coords_ref[0, 2, :].reshape(1, TILE_M)
     levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
     for l in range(n_levels):
-        # per-level hash mask (must mirror the fwd kernel); indices land in
-        # the low t_sizes[l] entries so the full-height one-hot is correct
+        # per-level hash mask (must mirror the fwd kernel); dense coarse
+        # levels also shrink the one-hot HEIGHT to their capacity (indices
+        # land in the low t_sizes[l] entries), cutting the VPU compare/select
+        # rows that dominate this kernel
         mask = jnp.uint32(t_sizes[l] - 1)
         g0 = g_ref[0, 2 * l, :].reshape(1, TILE_M)
         g1 = g_ref[0, 2 * l + 1, :].reshape(1, TILE_M)
         # both features share one (n_hi, M) x (M, 2*N_LO) contraction: a
         # 64-row x 128-col MXU output instead of two 64x64 ones (2x the
-        # systolic-array utilization of per-feature matmuls)
+        # systolic-array utilization of per-feature matmuls).
+        # Negative results (r3, measured on v5e — do not re-try blindly):
+        # - folding w*g into the hi one-hot via two selects + two 64-wide
+        #   matmuls (dropping the concat): 1.93M vs 2.41M rays/s
+        # - per-level reduced one-hot heights (n_hi_l = t_sizes[l]/N_LO):
+        #   Mosaic crashes on the partial-height out_ref write
+        #   ("Check failed: limits[i] <= dim(i)")
         acc = jnp.zeros((n_hi, 2 * N_LO), jnp.float32)
         for h_bits, w in levels[l]:
             idx = (h_bits & mask).astype(jnp.int32)
@@ -251,19 +261,22 @@ def _encode_bwd_kernel(
                 hi_oh, rhs.astype(mxu_dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        out_ref[0, l, 0, :, :] = out_ref[0, l, 0, :, :] + acc[:, :N_LO]
-        out_ref[0, l, 1, :, :] = out_ref[0, l, 1, :, :] + acc[:, N_LO:]
+        out_ref[0, 0, l, :, :] = out_ref[0, 0, l, :, :] + acc[:, :N_LO]
+        out_ref[0, 1, l, :, :] = out_ref[0, 1, l, :, :] + acc[:, N_LO:]
 
 
 def _pack_pair_tables(tab: jnp.ndarray) -> jnp.ndarray:
-    """(..., 2, C, 128) f32 -> (..., C, 128) int32 with feature 0 as bf16 in
-    the high 16 bits and feature 1 in the low 16 (one XLA pass; lets the fwd
-    kernel gather both features of a level in one lane shuffle)."""
+    """(..., 2, L, C, 128) f32 -> (..., L, C, 128) int32 with feature 0 as
+    bf16 in the high 16 bits and feature 1 in the low 16 (one XLA pass; lets
+    the fwd kernel gather both features of a level in one lane shuffle).
+    The feature axis is major (contiguous slices) per the (2, L, T) layout."""
+    f0 = jnp.take(tab, 0, axis=-4)
+    f1 = jnp.take(tab, 1, axis=-4)
     b0 = jax.lax.bitcast_convert_type(
-        tab[..., 0, :, :].astype(jnp.bfloat16), jnp.uint16
+        f0.astype(jnp.bfloat16), jnp.uint16
     ).astype(jnp.int32)
     b1 = jax.lax.bitcast_convert_type(
-        tab[..., 1, :, :].astype(jnp.bfloat16), jnp.uint16
+        f1.astype(jnp.bfloat16), jnp.uint16
     ).astype(jnp.int32)
     return (b0 << 16) | b1
 
@@ -300,7 +313,7 @@ def encode_fwd_moe(
     the sorted tile order.
 
     Args:
-        tables: (N, L, 2, T) per-expert feature-major hash tables.
+        tables: (N, 2, L, T) per-expert feature-major hash tables.
         coords: (num_tiles, 3, TILE_M) local-frame coordinates, tile-packed.
         tile_experts: (num_tiles,) int32 owning expert per tile.
 
@@ -315,20 +328,20 @@ def encode_fwd_moe(
     num_tiles = coords.shape[0]
     assert coords.shape == (num_tiles, 3, TILE_M)
     coords_f = coords.reshape(num_tiles, 3, rows, N_LANE)
-    tab = tables.reshape(n, n_levels, 2, t_max)
+    tab = tables.reshape(n, 2, n_levels, t_max)
     t_pad = (-t_max) % N_LANE
     if t_pad:
         tab = jnp.concatenate(
-            [tab, jnp.zeros((n, n_levels, 2, t_pad), tab.dtype)], axis=-1
+            [tab, jnp.zeros((n, 2, n_levels, t_pad), tab.dtype)], axis=-1
         )
     n_chunks = (t_max + t_pad) // N_LANE
-    tab = tab.reshape(n, n_levels, 2, n_chunks, N_LANE)
+    tab = tab.reshape(n, 2, n_levels, n_chunks, N_LANE)
     if mxu_dtype == jnp.bfloat16:
         tab = _pack_pair_tables(tab)  # (n, L, n_chunks, 128) int32
         tab_block = (1, n_levels, n_chunks, N_LANE)
         tab_index = lambda t, ids: (ids[t], 0, 0, 0)
     else:
-        tab_block = (1, n_levels, 2, n_chunks, N_LANE)
+        tab_block = (1, 2, n_levels, n_chunks, N_LANE)
         tab_index = lambda t, ids: (ids[t], 0, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -450,9 +463,9 @@ def _static_consts(scales, shifts, elev):
 def encode_fwd(
     table, coords, scales, shifts, elev, t_size, interpret=False, mxu_dtype=None
 ):
-    """Fused permutohedral encode. table (..., L, 2, T), coords (..., 3, P)
-    -> (..., 2*L, P). Static lattice constants are baked into the kernel.
-    ``interpret=True`` runs the kernel in the Pallas interpreter (CPU tests)."""
+    """Fused permutohedral encode. table (..., 2, L, T) feature-major,
+    coords (..., 3, P) -> (..., 2*L, P). Static lattice constants are baked
+    into the kernel. ``interpret=True`` runs in the Pallas interpreter."""
     mxu_dtype = MXU_DTYPE if mxu_dtype is None else mxu_dtype
     lead = coords.shape[:-2]
     p = coords.shape[-1]
@@ -471,20 +484,20 @@ def encode_fwd(
         )
     m = num_tiles * TILE_M
     coords_f = coords_f.reshape(b, 3, m // N_LANE, N_LANE)
-    tab_f = table.reshape(b, n_levels, 2, t_max)
+    tab_f = table.reshape(b, 2, n_levels, t_max)
     t_pad = (-t_max) % N_LANE  # tiny test tables: pad to the gather width
     if t_pad:
         tab_f = jnp.concatenate(
-            [tab_f, jnp.zeros((b, n_levels, 2, t_pad), tab_f.dtype)], axis=-1
+            [tab_f, jnp.zeros((b, 2, n_levels, t_pad), tab_f.dtype)], axis=-1
         )
     n_chunks = (t_max + t_pad) // N_LANE
-    tab_f = tab_f.reshape(b, n_levels, 2, n_chunks, N_LANE)
+    tab_f = tab_f.reshape(b, 2, n_levels, n_chunks, N_LANE)
     if mxu_dtype == jnp.bfloat16:
         tab_f = _pack_pair_tables(tab_f)  # (b, L, n_chunks, 128) int32
         tab_block = (1, n_levels, n_chunks, N_LANE)
         tab_index = lambda i, t: (i, 0, 0, 0)
     else:
-        tab_block = (1, n_levels, 2, n_chunks, N_LANE)
+        tab_block = (1, 2, n_levels, n_chunks, N_LANE)
         tab_index = lambda i, t: (i, 0, 0, 0, 0)
 
     out = pl.pallas_call(
@@ -529,7 +542,7 @@ def encode_bwd_table(
     coords, g, scales, shifts, elev, t_size, interpret=False, mxu_dtype=None
 ):
     """Fused table gradient for encode_fwd. coords (..., 3, P),
-    g (..., 2*L, P) -> (..., L, 2, T)."""
+    g (..., 2*L, P) -> (..., 2, L, T) feature-major (matches the params)."""
     mxu_dtype = MXU_DTYPE if mxu_dtype is None else mxu_dtype
     lead = coords.shape[:-2]
     p = coords.shape[-1]
@@ -566,10 +579,10 @@ def encode_bwd_table(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, n_levels, 2, n_hi, N_LO), lambda i, t: (i, 0, 0, 0, 0),
+            (1, 2, n_levels, n_hi, N_LO), lambda i, t: (i, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n_levels, 2, n_hi, N_LO), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, 2, n_levels, n_hi, N_LO), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_levels * 4 * 2 * m * t_max,
             bytes_accessed=b * (m * 12 + 2 * n_levels * m * 4 + n_levels * t_max * 8),
@@ -577,7 +590,7 @@ def encode_bwd_table(
         ),
         interpret=interpret,
     )(coords_f, g_f)
-    return out.reshape(lead + (n_levels, 2, n_hi * N_LO))
+    return out.reshape(lead + (2, n_levels, n_hi * N_LO))
 
 
 def _gather_kernel(tab_ref, idx_ref, out_ref, *, n_hi: int, num_tiles: int, mxu_dtype):

@@ -30,7 +30,7 @@ class TestPermutohedral:
     def test_init_shapes_and_scale(self):
         enc = make_permuto(init_scale=1e-5)
         params = enc.init(jax.random.PRNGKey(0))
-        assert params["table"].shape == (4, 2, 1024)  # (L, F, T) feature-major
+        assert params["table"].shape == (2, 4, 1024)  # (F, L, T) feature-major
         assert float(jnp.abs(params["table"]).max()) <= 1e-5
 
     def test_barycentric_weights_sum_to_one(self):
@@ -66,7 +66,7 @@ class TestPermutohedral:
         enc = make_permuto()
         keys = jax.random.split(jax.random.PRNGKey(4), 3)
         stacked = jax.vmap(enc.init)(keys)
-        assert stacked["table"].shape == (3, 4, 2, 1024)
+        assert stacked["table"].shape == (3, 2, 4, 1024)
         pts = jax.random.normal(jax.random.PRNGKey(5), (3, 16, 3))
         out = jax.vmap(enc.apply)(stacked, pts)
         assert out.shape == (3, 16, 8)

@@ -127,7 +127,7 @@ class TestEncodeFused:
         enc = _enc()
         key = jax.random.PRNGKey(3)
         k1, k2 = jax.random.split(key)
-        table = enc.init(k1)["table"]  # (L, 2, T)
+        table = enc.init(k1)["table"]  # (2, L, T) feature-major
         coords = jax.random.uniform(k2, (3, p), minval=-1.5, maxval=1.5)
         got = permuto_pallas.encode_fwd(
             table, coords, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity,
@@ -174,7 +174,7 @@ class TestEncodeFused:
             coords, g, enc._scales_t, enc._shifts_t, enc._elev_t, enc.capacity,
             mxu_dtype=jnp.float32,
         )
-        assert got.shape == (enc.nr_levels, 2, enc.capacity)
+        assert got.shape == (2, enc.nr_levels, enc.capacity)
 
         # autodiff of the jnp path w.r.t. the table under the same cotangent
         def f(tab):
@@ -182,7 +182,7 @@ class TestEncodeFused:
             return out
 
         _, vjp = jax.vjp(f, table)
-        (want,) = vjp(g)  # (L, 2, T)
+        (want,) = vjp(g)  # (2, L, T)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-3, rtol=1e-4
         )
