@@ -209,9 +209,21 @@ def evaluate_raw_mesh(
 
     gt_mesh = dataset.load_gt_mesh()
     gt_culled = cull_mesh(gt_mesh, dataset, culling_method)
+    if len(gt_culled.faces) == 0:
+        logger.error(
+            "GT mesh has no faces after %s culling; skipping mesh eval "
+            "(check camera conventions / virtual_cameras dir)", culling_method
+        )
+        return {}
     if align:
         est_mesh = mesh_metrics.align_mesh(est_mesh, gt_culled)
     est_culled = cull_mesh(est_mesh, dataset, culling_method)
+    if len(est_culled.faces) == 0:
+        logger.error(
+            "estimated mesh has no faces after %s culling; skipping mesh eval",
+            culling_method,
+        )
+        return {}
     return mesh_metrics.evaluate_meshes(
         est_culled, gt_culled, num_points=num_points, align=False
     )

@@ -70,6 +70,16 @@ class WandbLogger:
         except BrokenPipeError:
             logger.warning("logging to wandb failed (BrokenPipeError)")
 
+    def log_image(self, key: str, image, step: Optional[int] = None) -> None:
+        """Push a render-preview image (reference run_mapping.py:1901-1903
+        wandb.Image of the matplotlib preview grid)."""
+        if self._run is None:
+            return
+        try:
+            self._wandb.log({key: self._wandb.Image(image)}, step=step)
+        except BrokenPipeError:
+            logger.warning("logging image to wandb failed (BrokenPipeError)")
+
     def finish(self) -> None:
         if self._run is not None:
             self._run.finish()
