@@ -184,3 +184,55 @@ def test_engine_frame_step_sharded_matches_unsharded():
             assert abs(ds_[k] - du_[k]) < 1e-3 + 1e-2 * abs(du_[k]), (
                 k, ds_[k], du_[k]
             )
+
+
+def test_sharded_frame_step_hlo_has_no_big_allgather():
+    """Design regression (VERDICT r2 item 9): in the sharded engine program,
+    the big per-field state (params + Adam moments over the FULL field
+    capacity) must stay field-sharded through gather -> update -> scatter.
+    An accidental resharding shows up as an all-gather whose output is a
+    full-capacity leaf; assert the compiled HLO contains none."""
+    import re
+
+    _require_devices()
+    from neural_graph_mapping_tpu.mapping import engine as eng
+
+    ngm, _ = _run_engine(num_field_shards=N_DEV, frames=3)
+    assert ngm.num_fields > 0
+    cache_c2w = jnp.asarray(ngm._cache_c2w_np)
+    cache_valid = jnp.asarray(ngm._cache_valid_np)
+    lowered = eng.optimization_iterations_scan.lower(
+        ngm._fset, ngm._camera, ngm._rcfg, ngm._ocfg, ngm._loss_cfg,
+        ngm._num_train_fields, ngm._num_iterations_per_frame,
+        ngm._params, ngm._adam, ngm._map_arrays.training_iterations,
+        ngm._map_arrays.positions, ngm._map_arrays.orientations,
+        ngm._allocated_mask(), ngm._observed_mask,
+        ngm._cache_rgb, ngm._cache_depth, cache_c2w, cache_valid,
+        jax.random.PRNGKey(0),
+    )
+    hlo = lowered.compile().as_text()
+
+    # big = any full-capacity per-field leaf (the smallest is w1: cap x in x 4;
+    # the table is far larger). Gathering the ACTIVE train slice is fine.
+    cap = ngm.capacity
+    table_elems = int(np.prod(ngm._params["enc.table"].shape))
+    active_slice_elems = (
+        ngm._num_train_fields * table_elems // cap
+    )
+    threshold = 2 * active_slice_elems
+
+    offenders = []
+    for line in hlo.splitlines():
+        if "all-gather" not in line:
+            continue
+        m = re.search(r"=\s*\(?[a-z0-9]+\[([0-9,]*)\]", line)
+        if not m:
+            continue
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        elems = int(np.prod(dims)) if dims else 1
+        if elems > threshold:
+            offenders.append(line.strip()[:160])
+    assert not offenders, (
+        f"all-gather of full per-field state found (> {threshold} elements):\n"
+        + "\n".join(offenders)
+    )
