@@ -1066,6 +1066,8 @@ class NeuralGraphMap:
                 "render dispatch: max demand %d -> capacity %d", max_count, capacity_per_field
             )
 
+        drop_counts = []
+
         def model(ijs):
             if tiled:
                 return render_block_tiled_jit(
@@ -1083,9 +1085,27 @@ class NeuralGraphMap:
                     jnp.asarray(c2w),
                     self._next_key(),
                 )
-            return self._render_ij_block(ijs, c2w, camera, capacity_per_field)
+            rgbd, dv, dropped = self._render_ij_block(
+                ijs, c2w, camera, capacity_per_field
+            )
+            drop_counts.append(dropped)
+            return rgbd, dv
 
         rgbds, depth_vars = chunking.batched_evaluation(model, ijs_all, block)
+        if drop_counts:
+            total_dropped = int(sum(int(d) for d in drop_counts))
+            if total_dropped:
+                # the capacity fallback silently renormalizes over surviving
+                # pairs (bias up to 0.48 measured, VERDICT r2 Weak #5) —
+                # never let that pass silently
+                logger.warning(
+                    "capacity render path DROPPED %d KNN pairs (probe-sized "
+                    "capacity %d too small under demand skew); rendered "
+                    "colors/depths are biased where drops occurred. Use the "
+                    "tiled path (TPU) or raise capacity_per_field.",
+                    total_dropped,
+                    capacity_per_field,
+                )
         return rgbds.reshape(h, w, 4), depth_vars.reshape(h, w)
 
     def _render_ij_block(self, ijs, c2w, camera, capacity_per_field):
@@ -1270,14 +1290,16 @@ def render_block_jit(
 
     n_cap = positions.shape[0]
     # dispatch capacity: total pairs / fields, padded; static per (B, n_cap)
-    outs = fset.apply_knn(
+    outs, dropped = fset.apply_knn(
         params,
         points_world.reshape(-1, 3),
         positions,
         orientations,
         allocated_mask,
         capacity=capacity,
-    ).reshape(b, num_samples, -1)
+        with_stats=True,
+    )
+    outs = outs.reshape(b, num_samples, -1)
 
     sample_colors = rcfg.color_factor * outs[..., :3]
     sample_geometries = outs[..., 3]
@@ -1300,4 +1322,4 @@ def render_block_jit(
         neus_isds=neus_isds,
     )
     rgbd = jnp.concatenate([q.colors, q.depths[..., None]], axis=-1)
-    return rgbd, q.depth_vars
+    return rgbd, q.depth_vars, dropped

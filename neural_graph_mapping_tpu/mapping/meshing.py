@@ -104,20 +104,33 @@ def extract_mesh(
     def eval_points(pts: np.ndarray, radius: float) -> np.ndarray:
         """Chunked KNN evaluation of (N, 3) world points -> (N, 4)."""
 
+        drop_counts = []
+
         def model(chunk):
             if use_tiled:  # skew-proof dispatch, no capacity drops
                 return fset.apply_knn_tiled(
                     params, chunk, positions_j, orientations_j, valid_j,
                     field_radius=radius,
                 )
-            return fset.apply_knn(
+            out, dropped = fset.apply_knn(
                 params, chunk, positions_j, orientations_j, valid_j,
-                capacity=knn_capacity, field_radius=radius,
+                capacity=knn_capacity, field_radius=radius, with_stats=True,
             )
+            drop_counts.append(dropped)
+            return out
 
-        return np.asarray(
+        result = np.asarray(
             chunking.batched_evaluation(model, jnp.asarray(pts), eval_chunk)
         )
+        if drop_counts:
+            total = int(sum(int(d) for d in drop_counts))
+            if total:
+                logger.warning(
+                    "meshing capacity path DROPPED %d KNN pairs (capacity %d "
+                    "too small under skew); extracted geometry is biased "
+                    "where drops occurred", total, knn_capacity,
+                )
+        return result
 
     all_verts, all_faces, all_colors = [], [], []
     vert_offset = 0

@@ -139,7 +139,7 @@ class TestEngineEndToEnd:
             ngm._params, ngm._map_arrays.positions, ngm._map_arrays.orientations,
             ngm._allocated_mask(), ijs, c2w, key, interpret=True,
         )
-        rgbd_c, dv_c = render_block_jit(
+        rgbd_c, dv_c, _dropped = render_block_jit(
             ngm._fset, cam, ngm._rcfg, 256, ngm._eval_near, ngm._eval_far,
             1 << 16, ngm._params, ngm._map_arrays.positions,
             ngm._map_arrays.orientations, ngm._allocated_mask(), ijs, c2w, key,

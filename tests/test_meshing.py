@@ -12,11 +12,13 @@ class AnalyticSphereFieldSet:
     signature used by extract_mesh."""
 
     def apply_knn(self, params, points, positions, orientations, valid,
-                  capacity, field_radius=None, num_knn=None):
+                  capacity, field_radius=None, num_knn=None,
+                  with_stats=False):
         r = jnp.linalg.norm(points, axis=-1)
         sdf = r - 1.0
         color = 0.5 + 0.5 * points / jnp.maximum(r[:, None], 1e-6)
-        return jnp.concatenate([color, sdf[:, None]], axis=-1)
+        out = jnp.concatenate([color, sdf[:, None]], axis=-1)
+        return (out, jnp.int32(0)) if with_stats else out
 
 
 class TestExtractMesh:
@@ -60,10 +62,12 @@ class TestExtractMesh:
         """occupancy mode: logit > 0 inside -> surface at logit == 0."""
         class OccupancyFieldSet:
             def apply_knn(self, params, points, positions, orientations, valid,
-                          capacity, field_radius=None, num_knn=None):
+                          capacity, field_radius=None, num_knn=None,
+                          with_stats=False):
                 logit = 5.0 * (1.0 - jnp.linalg.norm(points, axis=-1))  # + inside
                 color = jnp.full(points.shape[:-1] + (3,), 0.5)
-                return jnp.concatenate([color, logit[:, None]], axis=-1)
+                out = jnp.concatenate([color, logit[:, None]], axis=-1)
+                return (out, jnp.int32(0)) if with_stats else out
 
         mesh = meshing.extract_mesh(
             OccupancyFieldSet(), {}, jnp.zeros((1, 3)),
