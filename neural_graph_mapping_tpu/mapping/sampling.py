@@ -299,17 +299,23 @@ def sample_target_sv(
     field_radius: float,
     num_train_fields: int,
     num_rays_per_field: int,
-    num_cloud_points: int = 16384,
+    num_cloud_points: int = 50_000,
+    cloud_chunk: int = 8192,
 ) -> Target:
     """Single-view target sampler (run_mapping.py:1463-1583).
 
     Subsamples the current depth cloud, intersects view segments with active
     field spheres, picks fields with enough intersecting rays, then samples
-    rays per field from its intersecting segments. Static-shape version: the
-    reference's 50k-point cloud is subsampled to ``num_cloud_points`` (the
-    sphere tests are dense (N_cap x points) matrices; per-field ray draws
-    use inverse-CDF binary search so cost stays O(F*R*log P) instead of the
-    (F, R, P) Gumbel blow-up that previously capped the cloud at 4096).
+    rays per field from its intersecting segments. Static-shape version at
+    the reference's full 50,000-point cloud (run_mapping.py:1472-1483):
+
+    - field ELIGIBILITY (counts over ALL capacity slots) streams the
+      (N_cap, P) sphere-intersection matrix in ``cloud_chunk``-point slices
+      via lax.scan, so peak memory is (N_cap, chunk) instead of the dense
+      (N_cap, 50k) blow-up that previously capped the cloud at 16,384;
+    - the per-point hit mask is then recomputed densely only for the F
+      SELECTED fields ((F, P) — tiny);
+    - per-field ray draws use inverse-CDF binary search, O(F*R*log P).
     """
     f, r = num_train_fields, num_rays_per_field
     k_cloud, k_fields, k_rays = jax.random.split(key, 3)
@@ -324,16 +330,40 @@ def sample_target_sv(
 
     field_pos_c = transforms.transform_points(field_positions, c2w, inv=True)
     origin = jnp.zeros((1, 3))
-    intersects = geometry.segments_intersect_spheres(
-        jnp.broadcast_to(origin, pts.shape), pts, field_pos_c, field_radius
-    )  # (N_cap, P)
-    intersects = intersects & pts_ok[None, :] & active_mask[:, None]
-    counts = jnp.sum(intersects, axis=-1)
+
+    # 1) streamed per-field intersection COUNTS over the padded cloud
+    pad = (-num_cloud_points) % cloud_chunk
+    pts_p = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)]) if pad else pts
+    ok_p = (
+        jnp.concatenate([pts_ok, jnp.zeros((pad,), bool)]) if pad else pts_ok
+    )
+    n_chunks = pts_p.shape[0] // cloud_chunk
+
+    def count_chunk(acc, inp):
+        p_c, ok_c = inp
+        hit = geometry.segments_intersect_spheres(
+            jnp.broadcast_to(origin, p_c.shape), p_c, field_pos_c, field_radius
+        )  # (N_cap, chunk)
+        hit = hit & ok_c[None, :] & active_mask[:, None]
+        return acc + jnp.sum(hit, axis=-1), None
+
+    counts, _ = jax.lax.scan(
+        count_chunk,
+        jnp.zeros(field_positions.shape[0], jnp.int32),
+        (
+            pts_p.reshape(n_chunks, cloud_chunk, 3),
+            ok_p.reshape(n_chunks, cloud_chunk),
+        ),
+    )
 
     eligible = counts >= num_rays_per_field  # (N_cap,)
     field_ids, field_valid = masked_choice_without_replacement(k_fields, eligible, f)
 
-    field_hits = intersects[field_ids]  # (F, P)
+    # 2) dense hit mask for the SELECTED fields only
+    sel_pos = field_pos_c[field_ids]  # (F, 3)
+    field_hits = geometry.segments_intersect_spheres(
+        jnp.broadcast_to(origin, pts.shape), pts, sel_pos, field_radius
+    ) & pts_ok[None, :]  # (F, P)
     # uniform draw (with replacement) over each field's intersecting
     # segments: inverse-CDF + batched binary search
     w = jnp.where(field_valid[:, None], field_hits, True).astype(jnp.float32)
