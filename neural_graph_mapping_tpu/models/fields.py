@@ -14,6 +14,7 @@ per-field Python loop (models.py:392-396).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -24,6 +25,10 @@ from neural_graph_mapping_tpu.ops import dispatch
 from neural_graph_mapping_tpu.utils import transforms
 
 Params = Dict[str, jnp.ndarray]
+
+# Opt-in for the fused encode+MLP kernel pair (see apply_fm_soa docstring:
+# measured SLOWER than encode-kernel + XLA-MLP on v5e, r3)
+_FUSED_MLP = os.environ.get("NGM_FUSED_MLP", "") == "1"
 
 
 def _linear_init(key: jax.Array, dim_in: int, dim_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -114,12 +119,46 @@ class NeuralField:
         points in the TPU lane dimension; linear layers contract the channel
         axis (``dot_general`` with the stored (din, dout) weights, no
         transposes). Requires the encoding to provide ``apply_fm_soa``.
+
+        NGM_FUSED_MLP=1 additionally fuses the MLP into the encode kernel
+        pair (supported for the production shape: 3D permutohedral, 2
+        features/level, one hidden layer, no skip). MEASURED SLOWER on v5e
+        as of r3 — 2.33M vs 2.51M rays/s — because the (rows, 128) slab
+        registers must be re-laid lane-major for the in-kernel matmuls
+        (sublane/lane relayouts cost more than the ~0.25 ms/step of HBM
+        round-trips saved), so it is OFF by default; kept because the
+        balance may flip on other TPU generations or larger MLPs.
         """
         enc_params = {
             k.split(".", 1)[1]: v for k, v in params.items() if k.startswith("enc.")
         }
+        if _FUSED_MLP and self._supports_fused_mlp():
+            from neural_graph_mapping_tpu.ops import permuto
+
+            if permuto._use_pallas():
+                enc = self.encoding
+                stacked = jnp.stack(coords, axis=0)  # (3, P)
+                return permuto.encode_mlp_fused(
+                    enc_params["table"], params["w0"], params["b0"],
+                    params["w1"], params["b1"], stacked,
+                    enc._scales_t, enc._shifts_t, enc._elev_t,
+                    enc.level_capacities,
+                )
         outs_encoding = self.encoding.apply_fm_soa(enc_params, coords)  # (D, P)
         return self.mlp_fm(params, outs_encoding)
+
+    def _supports_fused_mlp(self) -> bool:
+        from neural_graph_mapping_tpu.ops.encodings import PermutohedralEncoding
+
+        enc = self.encoding
+        return (
+            isinstance(enc, PermutohedralEncoding)
+            and enc.pos_dim == 3
+            and enc.nr_feat_per_level == 2
+            and not enc.concat_points
+            and self.num_layers == 1
+            and self.skip_mode == "no"
+        )
 
     def mlp_fm(self, params: Params, outs_encoding: jnp.ndarray) -> jnp.ndarray:
         """Feature-major MLP from precomputed encoding features

@@ -352,3 +352,46 @@ def _encode_fused_bwd(scales, shifts, elev, t_size, coords, g):
 
 
 encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused encode + MLP (TPU training hot path): forward features feed the
+# field MLP inside the kernel (written to HBM once, as the residual); the
+# backward fuses MLP-backward with the table-gradient histogram so
+# dL/dfeatures never materializes in HBM. Same zero-coordinate-cotangent
+# caveat as encode_fused.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def encode_mlp_fused(table, w0, b0, w1, b1, coords, scales, shifts, elev, t_size):
+    """table (..., 2, L, T), w0 (..., 2L, H), b0 (..., H), w1 (..., H, O),
+    b1 (..., O), coords (..., 3, P) -> (..., O, P)."""
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    out, _ = permuto_pallas.encode_mlp_fwd(
+        table, w0, b0, w1, b1, coords, scales, shifts, elev, t_size
+    )
+    return out
+
+
+def _encode_mlp_fused_fwd(table, w0, b0, w1, b1, coords, scales, shifts, elev, t_size):
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    out, feats = permuto_pallas.encode_mlp_fwd(
+        table, w0, b0, w1, b1, coords, scales, shifts, elev, t_size
+    )
+    return out, (coords, feats, w0, b0, w1, b1)
+
+
+def _encode_mlp_fused_bwd(scales, shifts, elev, t_size, res, g):
+    from neural_graph_mapping_tpu.ops import permuto_pallas
+
+    coords, feats, w0, b0, w1, b1 = res
+    grad_table, dw0, db0, dw1, db1 = permuto_pallas.encode_mlp_bwd(
+        coords, feats, g, w0, b0, w1, b1, scales, shifts, elev, t_size
+    )
+    return grad_table, dw0, db0, dw1, db1, jnp.zeros_like(coords)
+
+
+encode_mlp_fused.defvjp(_encode_mlp_fused_fwd, _encode_mlp_fused_bwd)

@@ -156,6 +156,17 @@ def _encode_fwd_kernel(
     (1, 3, TILE_M // 128, 128). out_ref: (1, 2*L, TILE_M // 128, 128)
     feature-major blended features.
     """
+    for l, (out0, out1) in enumerate(
+        _sweep_features(tab_ref, coords_ref, scales, shifts, elev, t_size, mxu_dtype)
+    ):
+        out_ref[0, 2 * l] = out0
+        out_ref[0, 2 * l + 1] = out1
+
+
+def _sweep_features(tab_ref, coords_ref, scales, shifts, elev, t_size, mxu_dtype):
+    """Lattice + gather sweep + blend: yields per level the two blended
+    feature slabs (rows, 128). Shared by the plain encode kernel and the
+    fused encode+MLP kernel."""
     packed = mxu_dtype == jnp.bfloat16
     n_levels = len(scales)
     rows = TILE_M // N_LANE
@@ -166,6 +177,7 @@ def _encode_fwd_kernel(
     zs = coords_ref[0, 2]
     levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
     hi_mask = jnp.int32(-65536)  # 0xffff0000
+    outs = []
     for l in range(n_levels):
         # per-level table size: coarse levels are DENSE (few lattice cells)
         # and sweep only t_sizes[l]/128 chunks instead of the full table
@@ -203,8 +215,8 @@ def _encode_fwd_kernel(
                     f1 = jnp.where(sel, g1, f1)
             out0 = out0 + w * f0
             out1 = out1 + w * f1
-        out_ref[0, 2 * l] = out0
-        out_ref[0, 2 * l + 1] = out1
+        outs.append((out0, out1))
+    return outs
 
 
 def _encode_bwd_kernel(
@@ -779,3 +791,381 @@ def table_grad(
     # dimension (N_LO) untouched, so this is a cheap relayout.
     out = out.reshape(b, n_hi, 2, N_LO).transpose(0, 2, 1, 3)
     return out.reshape(lead + (2, table_size))
+
+
+# ---------------------------------------------------------------------------
+# Fused encode + MLP (training hot path): the (2L, P) feature tensor feeds
+# the field MLP (one hidden layer + relu, the reference config's only shape,
+# config/neural_graph_map.yaml:15-18) INSIDE the kernel, so forward features
+# are written to HBM once (as the residual) instead of round-tripping
+# between the encode custom-call and the XLA matmul fusion, and the backward
+# consumes the head cotangent (dim_out, P) directly — dL/dfeatures never
+# materializes in HBM at all.
+#
+# Biases are folded into the matmuls via an appended ones-row (the wrapper
+# augments w0 -> [w0; b0]), so the weight gradient's last row IS the bias
+# gradient and the kernel stays pure-matmul.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_slab(w0a, w1a, fr_a):
+    """One 128-point slab through the augmented 1-hidden-layer MLP.
+
+    fr_a (D+1, 128) (features + ones row), w0a (D+1, H), w1a (H+1, dim_out).
+    Returns (out (dim_out, 128), h (H, 128) post-relu).
+    """
+    dn = (((0,), (0,)), ((), ()))
+    a0 = jax.lax.dot_general(w0a, fr_a, dn, preferred_element_type=jnp.float32)
+    h = jnp.maximum(a0, 0.0)
+    ones = jnp.ones((1, N_LANE), jnp.float32)
+    h_a = jnp.concatenate([h, ones], axis=0)
+    out = jax.lax.dot_general(w1a, h_a, dn, preferred_element_type=jnp.float32)
+    return out, h
+
+
+def _encode_mlp_fwd_kernel(
+    tab_ref, coords_ref, w0a_ref, w1a_ref, out_ref, feats_ref,
+    *, scales, shifts, elev, t_size, mxu_dtype, dim_out,
+):
+    """Fused encode + MLP forward. Blocks: tab as in _encode_fwd_kernel;
+    w0a (1, D+1, H); w1a (1, H+1, dim_out); out (1, rows, dim_out, 128);
+    feats (1, rows, D, 128).
+
+    The MLP runs as ONE wide matmul pair over the whole tile: the per-slab
+    (rows, 128) feature registers are re-laid lane-major into a
+    (D+1, TILE_M) operand (per-slab K=128 matmuls measured ~10% slower on
+    the whole training step — MXU fill overhead x8)."""
+    rows = TILE_M // N_LANE
+    slabs = _sweep_features(
+        tab_ref, coords_ref, scales, shifts, elev, t_size, mxu_dtype
+    )
+    flat = [s for pair in slabs for s in pair]  # 2L slabs, (rows, 128) each
+    w0a = w0a_ref[0]
+    w1a = w1a_ref[0]
+    # per-row feature blocks to VMEM (sublane concat of slab rows — the
+    # only assembly pattern Mosaic accepts here; lane-concat of sublane
+    # slices fails with "offset mismatch on non-concat dimension")
+    for r in range(rows):
+        feats_ref[0, r] = jnp.concatenate(
+            [s[r : r + 1] for s in flat], axis=0
+        )  # (D, 128)
+    # lane-major (D, TILE_M) from the register-aligned VMEM blocks
+    feats_wide = jnp.concatenate(
+        [feats_ref[0, r] for r in range(rows)], axis=1
+    )
+    ones_w = jnp.ones((1, TILE_M), jnp.float32)
+    fr_a = jnp.concatenate([feats_wide, ones_w], axis=0)  # (D+1, TILE_M)
+    dn = (((0,), (0,)), ((), ()))
+    a0 = jax.lax.dot_general(w0a, fr_a, dn, preferred_element_type=jnp.float32)
+    h = jnp.maximum(a0, 0.0)
+    h_a = jnp.concatenate([h, ones_w], axis=0)
+    out = jax.lax.dot_general(w1a, h_a, dn, preferred_element_type=jnp.float32)
+    for r in range(rows):
+        out_ref[0, r] = out[:, r * N_LANE : (r + 1) * N_LANE]
+
+
+def _encode_mlp_bwd_kernel(
+    coords_ref, feats_ref, g_ref, w0a_ref, w1a_ref,
+    tabg_ref, dw0a_ref, dw1a_ref,
+    *, scales, shifts, elev, t_size, mxu_dtype, dim_out,
+):
+    """Fused backward: wide MLP backward (one matmul chain over the whole
+    tile, lane-major), then the SAME K=TILE_M one-hot histogram as
+    _encode_bwd_kernel, driven by the in-register dL/dfeatures — which
+    therefore never touches HBM.
+
+    coords (1, 3, TILE_M) lane-major (the histogram's lattice layout);
+    feats (1, rows, D, 128); g (1, rows, dim_out, 128); outputs tabg
+    (1, 2, L, n_hi, N_LO), dw0a (1, D+1, H), dw1a (1, H+1, dim_out), all
+    revisited+accumulated across point tiles.
+    """
+    n_levels = len(scales)
+    t_sizes = (t_size,) * n_levels if isinstance(t_size, int) else t_size
+    n_hi = max(t_sizes) // N_LO
+    rows = TILE_M // N_LANE
+    d = 2 * n_levels
+    w0a = w0a_ref[0]  # (D+1, H)
+    w1a = w1a_ref[0]  # (H+1, dim_out)
+    h_dim = w0a.shape[1]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        tabg_ref[0] = jnp.zeros((2, n_levels, n_hi, N_LO), jnp.float32)
+        dw0a_ref[0] = jnp.zeros(w0a.shape, jnp.float32)
+        dw1a_ref[0] = jnp.zeros(w1a.shape, jnp.float32)
+
+    # ---- MLP backward, one wide matmul chain over the tile ----------------
+    feats_wide = jnp.concatenate(
+        [feats_ref[0, r] for r in range(rows)], axis=1
+    )  # (D, TILE_M)
+    g_wide = jnp.concatenate(
+        [g_ref[0, r] for r in range(rows)], axis=1
+    )  # (dim_out, TILE_M)
+    ones_w = jnp.ones((1, TILE_M), jnp.float32)
+    fr_a = jnp.concatenate([feats_wide, ones_w], axis=0)  # (D+1, TILE_M)
+    dn_k = (((0,), (0,)), ((), ()))
+    dn_l = (((1,), (1,)), ((), ()))  # contract the lane (point) dim
+    a0 = jax.lax.dot_general(w0a, fr_a, dn_k, preferred_element_type=jnp.float32)
+    h = jnp.maximum(a0, 0.0)
+    h_a = jnp.concatenate([h, ones_w], axis=0)
+    dw1a_ref[0] = dw1a_ref[0] + jax.lax.dot_general(
+        h_a, g_wide, dn_l, preferred_element_type=jnp.float32
+    )  # (H+1, dim_out)
+    dh = jax.lax.dot_general(
+        w1a[:h_dim], g_wide, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H, TILE_M)
+    da0 = jnp.where(a0 > 0.0, dh, 0.0)
+    dw0a_ref[0] = dw0a_ref[0] + jax.lax.dot_general(
+        fr_a, da0, dn_l, preferred_element_type=jnp.float32
+    )  # (D+1, H)
+    dfeats = jax.lax.dot_general(
+        w0a[:d], da0, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, TILE_M) = dL/dfeatures — never leaves VMEM
+
+    # ---- table-gradient histogram (identical to _encode_bwd_kernel) -------
+    xs = coords_ref[0, 0, :].reshape(1, TILE_M)
+    ys = coords_ref[0, 1, :].reshape(1, TILE_M)
+    zs = coords_ref[0, 2, :].reshape(1, TILE_M)
+    levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, TILE_M), 0)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
+    for l in range(n_levels):
+        mask = jnp.uint32(t_sizes[l] - 1)
+        g0 = dfeats[2 * l : 2 * l + 1]  # (1, TILE_M)
+        g1 = dfeats[2 * l + 1 : 2 * l + 2]
+        acc = jnp.zeros((n_hi, 2 * N_LO), jnp.float32)
+        for h_bits, w in levels[l]:
+            idx = (h_bits & mask).astype(jnp.int32)
+            hi_oh = (hi_iota == (idx >> BITS_LO)).astype(mxu_dtype)
+            lo_oh = (lo_iota == (idx & (N_LO - 1))).astype(jnp.float32)
+            rhs = jnp.concatenate(
+                [lo_oh * (w * g0), lo_oh * (w * g1)], axis=0
+            )  # (2*N_LO, TILE_M)
+            acc = acc + jax.lax.dot_general(
+                hi_oh, rhs.astype(mxu_dtype), dn_l,
+                preferred_element_type=jnp.float32,
+            )
+        tabg_ref[0, 0, l] = tabg_ref[0, 0, l] + acc[:, :N_LO]
+        tabg_ref[0, 1, l] = tabg_ref[0, 1, l] + acc[:, N_LO:]
+
+
+def _augment(w, b):
+    """(..., din, dout), (..., dout) -> (..., din+1, dout) with the bias as
+    the appended row (multiplied by the kernel's ones feature)."""
+    return jnp.concatenate([w, b[..., None, :]], axis=-2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scales", "shifts", "elev", "t_size", "interpret", "mxu_dtype"),
+)
+def encode_mlp_fwd(
+    table, w0, b0, w1, b1, coords, scales, shifts, elev, t_size,
+    interpret=False, mxu_dtype=None,
+):
+    """Fused encode+MLP forward. table (..., 2, L, T), w0 (..., D, H),
+    b0 (..., H), w1 (..., H, dim_out), b1 (..., dim_out),
+    coords (..., 3, P) -> (out (..., dim_out, P), feats_native).
+
+    ``feats_native`` is the backward residual in the kernel's ROW-major
+    padded layout (b, M/128, D, 128) — pass it to :func:`encode_mlp_bwd`
+    verbatim (avoids two 50 MB relayouts per step). Reshape
+    ``feats_native.transpose(0, 2, 1, 3).reshape(b, D, M)[..., :P]`` to
+    recover canonical (D, P) features."""
+    mxu_dtype = MXU_DTYPE if mxu_dtype is None else mxu_dtype
+    lead = coords.shape[:-2]
+    p = coords.shape[-1]
+    n_levels = len(scales)
+    d = 2 * n_levels
+    h_dim = w0.shape[-1]
+    dim_out = w1.shape[-1]
+    t_max = t_size if isinstance(t_size, int) else max(t_size)
+    rows = TILE_M // N_LANE
+    b = 1
+    for s in lead:
+        b *= s
+    num_tiles = (p + TILE_M - 1) // TILE_M
+    pad = num_tiles * TILE_M - p
+    coords_f = coords.reshape(b, 3, p)
+    if pad:
+        coords_f = jnp.concatenate(
+            [coords_f, jnp.zeros((b, 3, pad), coords.dtype)], axis=-1
+        )
+    m = num_tiles * TILE_M
+    coords_f = coords_f.reshape(b, 3, m // N_LANE, N_LANE)
+    tab_f = table.reshape(b, 2, n_levels, t_max)
+    t_pad = (-t_max) % N_LANE
+    if t_pad:
+        tab_f = jnp.concatenate(
+            [tab_f, jnp.zeros((b, 2, n_levels, t_pad), tab_f.dtype)], axis=-1
+        )
+    n_chunks = (t_max + t_pad) // N_LANE
+    tab_f = tab_f.reshape(b, 2, n_levels, n_chunks, N_LANE)
+    if mxu_dtype == jnp.bfloat16:
+        tab_f = _pack_pair_tables(tab_f)
+        tab_block = (1, n_levels, n_chunks, N_LANE)
+        tab_index = lambda i, t: (i, 0, 0, 0)
+    else:
+        tab_block = (1, 2, n_levels, n_chunks, N_LANE)
+        tab_index = lambda i, t: (i, 0, 0, 0, 0)
+    w0a = _augment(w0, b0).reshape(b, d + 1, h_dim)
+    w1a = _augment(w1, b1).reshape(b, h_dim + 1, dim_out)
+
+    out, feats = pl.pallas_call(
+        functools.partial(
+            _encode_mlp_fwd_kernel, scales=scales, shifts=shifts, elev=elev,
+            t_size=t_size, mxu_dtype=mxu_dtype, dim_out=dim_out,
+        ),
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(tab_block, tab_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 3, rows, N_LANE), lambda i, t: (i, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d + 1, h_dim), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h_dim + 1, dim_out), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, rows, dim_out, N_LANE), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, d, N_LANE), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m // N_LANE, dim_out, N_LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b, m // N_LANE, d, N_LANE), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=b * m * (n_levels * 4 * (3 * n_chunks + 4) + 2 * d * h_dim),
+            bytes_accessed=b
+            * (m * 12 + (d + dim_out) * m * 4 + n_levels * t_max * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(tab_f, coords_f, w0a, w1a)
+    # out: row-major (b, M/128, dim_out, 128) -> canonical (dim_out, P).
+    # Major-dims transpose only (minor 128 untouched) on the SMALL head
+    # output; the big feats residual stays in native layout.
+    out = out.transpose(0, 2, 1, 3).reshape(b, dim_out, m)[:, :, :p]
+    return out.reshape(lead + (dim_out, p)), feats
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scales", "shifts", "elev", "t_size", "interpret", "mxu_dtype"),
+)
+def encode_mlp_bwd(
+    coords, feats, g, w0, b0, w1, b1, scales, shifts, elev, t_size,
+    interpret=False, mxu_dtype=None,
+):
+    """Fused backward for encode_mlp_fwd. coords (..., 3, P),
+    feats: the NATIVE residual from encode_mlp_fwd (b, M/128, D, 128),
+    g (..., dim_out, P) -> (grad_table (..., 2, L, T), dw0, db0, dw1, db1)."""
+    mxu_dtype = MXU_DTYPE if mxu_dtype is None else mxu_dtype
+    lead = coords.shape[:-2]
+    p = coords.shape[-1]
+    n_levels = len(scales)
+    d = 2 * n_levels
+    h_dim = w0.shape[-1]
+    dim_out = w1.shape[-1]
+    t_max = t_size if isinstance(t_size, int) else max(t_size)
+    n_hi = t_max // N_LO
+    rows = TILE_M // N_LANE
+    b = 1
+    for s in lead:
+        b *= s
+    num_tiles = (p + TILE_M - 1) // TILE_M
+    pad = num_tiles * TILE_M - p
+    m = num_tiles * TILE_M
+    coords_f = coords.reshape(b, 3, p)
+    g_f = g.reshape(b, dim_out, p)
+    if pad:
+        coords_f = jnp.concatenate(
+            [coords_f, jnp.zeros((b, 3, pad), coords.dtype)], axis=-1
+        )
+        # padded points MUST carry zero cotangent (their recomputed lattice
+        # hits real table cells)
+        g_f = jnp.concatenate([g_f, jnp.zeros((b, dim_out, pad), g.dtype)], -1)
+    # coords stay lane-major (the histogram's lattice layout)
+    # g: canonical -> row-major (small head cotangent, cheap major transpose)
+    g_f = g_f.reshape(b, dim_out, m // N_LANE, N_LANE).transpose(0, 2, 1, 3)
+    feats_f = feats  # already native (b, M/128, D, 128), padded
+    assert feats_f.shape == (b, m // N_LANE, d, N_LANE), feats_f.shape
+    w0a = _augment(w0, b0).reshape(b, d + 1, h_dim)
+    w1a = _augment(w1, b1).reshape(b, h_dim + 1, dim_out)
+
+    tabg, dw0a, dw1a = pl.pallas_call(
+        functools.partial(
+            _encode_mlp_bwd_kernel, scales=scales, shifts=shifts, elev=elev,
+            t_size=t_size, mxu_dtype=mxu_dtype, dim_out=dim_out,
+        ),
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, TILE_M), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, d, N_LANE), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, dim_out, N_LANE), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d + 1, h_dim), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h_dim + 1, dim_out), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 2, n_levels, n_hi, N_LO), lambda i, t: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, d + 1, h_dim), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, h_dim + 1, dim_out), lambda i, t: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, 2, n_levels, n_hi, N_LO), jnp.float32),
+            jax.ShapeDtypeStruct((b, d + 1, h_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_dim + 1, dim_out), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_levels * 4 * 2 * m * t_max + 6 * b * m * d * h_dim,
+            bytes_accessed=b
+            * (m * 12 + (d + dim_out) * m * 4 + n_levels * t_max * 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coords_f, feats_f, g_f, w0a, w1a)
+
+    grad_table = tabg.reshape(lead + (2, n_levels, n_hi * N_LO))
+    dw0 = dw0a[:, :d].reshape(lead + (d, h_dim))
+    db0 = dw0a[:, d].reshape(lead + (h_dim,))
+    dw1 = dw1a[:, :h_dim].reshape(lead + (h_dim, dim_out))
+    db1 = dw1a[:, h_dim].reshape(lead + (dim_out,))
+    return grad_table, dw0, db0, dw1, db1
