@@ -483,27 +483,36 @@ class NeuralFieldSet:
         inside = knn_dists[:, 0] < radius
         pair_ids = knn_idx.reshape(-1)
         pair_valid = jnp.repeat(inside, k) & jnp.isfinite(knn_dists.reshape(-1))
+        m = p * k
 
-        slot, tile_expert, _ = dispatch.tiled_dispatch_indices(
-            pair_ids, pair_valid, n, tile
-        )
-        num_tiles = tile_expert.shape[0]
+        # sort-based dispatch: coordinates ride the sort as payloads; the
+        # tile buffer fills with per-tile CONTIGUOUS slices and outputs
+        # return to pair order via one key sort — no per-pair scatter/gather
+        # (XLA serializes those at ~12 ns/element; they were 490 ms of the
+        # 700 ms render block, traced r3)
+        cols = tuple(jnp.repeat(query_points[:, i], k) for i in range(3))
+        (
+            (sx, sy, sz), sorted_orig, tile_src, tile_expert, tile_count,
+            _num_live, num_tiles,
+        ) = dispatch.tiled_dispatch_sorted(pair_ids, pair_valid, cols, n, tile)
         total = num_tiles * tile
 
-        # scatter pair coordinates into the tile buffer, SoA per coordinate
-        def scat(c):  # (P,) -> (num_tiles, tile)
-            col = jnp.repeat(c, k)
-            return (
-                jnp.zeros((total,), c.dtype)
-                .at[slot]
-                .set(col, mode="drop")
-                .reshape(num_tiles, tile)
-            )
+        fsrc = jnp.pad(jnp.stack([sx, sy, sz], axis=0), ((0, 0), (0, tile)))
+        buf_xyz = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(fsrc, (0, s), (3, tile))
+        )(tile_src)  # (num_tiles, 3, tile)
+        isrc = jnp.pad(sorted_orig, (0, tile))
+        buf_orig = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(isrc, (s,), (tile,))
+        )(tile_src)  # (num_tiles, tile)
+        lane = jnp.arange(tile, dtype=jnp.int32)[None, :]
+        bkey = jnp.where(lane < tile_count[:, None], buf_orig, m)
 
-        buf_coords = tuple(scat(query_points[:, i]) for i in range(3))
         tile_pos = field_positions[tile_expert]  # (num_tiles, 3)
         tile_quat = field_orientations[tile_expert]
-        local = self.world_to_local_soa(buf_coords, tile_pos, tile_quat)
+        local = self.world_to_local_soa(
+            (buf_xyz[:, 0], buf_xyz[:, 1], buf_xyz[:, 2]), tile_pos, tile_quat
+        )
         coords_stacked = jnp.stack(local, axis=1)  # (num_tiles, 3, tile)
 
         feats = permuto_pallas.encode_fwd_moe(
@@ -522,10 +531,14 @@ class NeuralFieldSet:
         # minor (tile) untouched — cheap relayout, no lane shuffle
         dim_out = self.prototype.dim_out
         flat_fm = jnp.moveaxis(outs, 1, 0).reshape(dim_out, total)
-        padded = jnp.concatenate(
-            [flat_fm, jnp.zeros((dim_out, 1), flat_fm.dtype)], axis=1
+        # key sort on the carried original pair index: real lanes (keys
+        # 0..m-1, unique) land in pair order in the first m entries; padding
+        # lanes (key m) sort behind them
+        back = jax.lax.sort(
+            (bkey.reshape(total),) + tuple(flat_fm[c] for c in range(dim_out)),
+            num_keys=1,
         )
-        pair_outs_fm = padded[:, jnp.minimum(slot, total)]  # (dim_out, P*k)
+        pair_outs_fm = jnp.stack(back[1:], axis=0)[:, :m]  # (dim_out, P*k)
         pair_outs_fm = jnp.where(pair_valid[None, :], pair_outs_fm, 0.0)
 
         # softmax distance blend (models.py:384, 399); no capacity drops, so
