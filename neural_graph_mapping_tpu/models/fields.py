@@ -493,7 +493,7 @@ class NeuralFieldSet:
         cols = tuple(jnp.repeat(query_points[:, i], k) for i in range(3))
         (
             (sx, sy, sz), sorted_orig, tile_src, tile_expert, tile_count,
-            _num_live, num_tiles,
+            num_live, num_tiles,
         ) = dispatch.tiled_dispatch_sorted(pair_ids, pair_valid, cols, n, tile)
         total = num_tiles * tile
 
@@ -518,7 +518,7 @@ class NeuralFieldSet:
         feats = permuto_pallas.encode_fwd_moe(
             stacked_params["enc.table"], coords_stacked, tile_expert,
             enc._scales_t, enc._shifts_t, enc._elev_t, enc.level_capacities,
-            interpret=interpret,
+            num_live_tiles=num_live, interpret=interpret,
         )  # (num_tiles, 2L, tile)
 
         mlp_params = {

@@ -298,13 +298,22 @@ def _encode_fwd_moe_kernel(
 ):
     """MoE variant: one grid step = one point tile owned by one expert; the
     expert's table block is DMA'd according to the prefetched tile->expert
-    map (consecutive tiles of the same expert reuse the resident block)."""
-    del ids_ref  # consumed by the index maps only
-    _encode_fwd_kernel(
-        tab_ref, coords_ref, out_ref,
-        scales=scales, shifts=shifts, elev=elev, t_size=t_size,
-        mxu_dtype=mxu_dtype,
-    )
+    map (consecutive tiles of the same expert reuse the resident block).
+
+    The prefetch array carries ``num_live_tiles`` in its last element: tiles
+    at or past it hold only invalid/padding pairs (their outputs are masked
+    by the callers), so their lattice sweep is skipped entirely — only the
+    (already resident or cheap) table DMA remains. Their out block keeps
+    whatever bits were in VMEM; downstream consumers mask by pair validity."""
+    num_tiles = ids_ref.shape[0] - 1
+
+    @pl.when(pl.program_id(0) < ids_ref[num_tiles])
+    def _():
+        _encode_fwd_kernel(
+            tab_ref, coords_ref, out_ref,
+            scales=scales, shifts=shifts, elev=elev, t_size=t_size,
+            mxu_dtype=mxu_dtype,
+        )
 
 
 @functools.partial(
@@ -313,7 +322,7 @@ def _encode_fwd_moe_kernel(
 )
 def encode_fwd_moe(
     tables, coords, tile_experts, scales, shifts, elev, t_size,
-    interpret=False, mxu_dtype=None,
+    num_live_tiles=None, interpret=False, mxu_dtype=None,
 ):
     """Mixture-of-experts fused encode for the tiled KNN/render path.
 
@@ -328,6 +337,8 @@ def encode_fwd_moe(
         tables: (N, 2, L, T) per-expert feature-major hash tables.
         coords: (num_tiles, 3, TILE_M) local-frame coordinates, tile-packed.
         tile_experts: (num_tiles,) int32 owning expert per tile.
+        num_live_tiles: optional () int32 — tiles at or past this index are
+            skipped (garbage output; callers mask by pair validity).
 
     Returns:
         (num_tiles, 2 * L, TILE_M) blended features.
@@ -339,6 +350,12 @@ def encode_fwd_moe(
     rows = TILE_M // N_LANE
     num_tiles = coords.shape[0]
     assert coords.shape == (num_tiles, 3, TILE_M)
+    live = (
+        jnp.full((1,), num_tiles, jnp.int32)
+        if num_live_tiles is None
+        else jnp.asarray(num_live_tiles, jnp.int32).reshape(1)
+    )
+    tile_experts = jnp.concatenate([tile_experts.astype(jnp.int32), live])
     coords_f = coords.reshape(num_tiles, 3, rows, N_LANE)
     tab = tables.reshape(n, 2, n_levels, t_max)
     t_pad = (-t_max) % N_LANE
