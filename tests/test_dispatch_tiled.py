@@ -58,6 +58,59 @@ class TestTiledDispatchIndices:
         assert (np.asarray(slot) == tile_expert.shape[0] * 4).all()
 
 
+class TestTiledDispatchSorted:
+    """Unit contract for the sort-based dispatch: per-tile contiguous source
+    slices reconstruct exactly the expert-grouped pairs, every tile is owned
+    by its pairs' expert, and the carried original indices cover all pairs."""
+
+    @pytest.mark.parametrize("seed,m,e,tile", [(0, 700, 5, 128), (1, 513, 3, 64), (2, 64, 9, 32)])
+    def test_tiles_reconstruct_groups(self, seed, m, e, tile):
+        key = jax.random.PRNGKey(seed)
+        ids = jax.random.randint(key, (m,), 0, e)
+        valid = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.8, (m,))
+        payload = jnp.arange(m, dtype=jnp.float32) * 2.0
+        (
+            (sp,), sorted_orig, tile_src, tile_expert, tile_count,
+            num_live, num_tiles,
+        ) = dispatch.tiled_dispatch_sorted(ids, valid, (payload,), e, tile)
+        assert num_tiles == -(-m // tile) + e + 1
+
+        ids_np, valid_np = np.asarray(ids), np.asarray(valid)
+        sp_np, orig_np = np.asarray(sp), np.asarray(sorted_orig)
+        src_np, cnt_np = np.asarray(tile_src), np.asarray(tile_count)
+        te_np = np.asarray(tile_expert)
+
+        # the payload rides the sort with its pair: sp[i] == payload[orig[i]]
+        np.testing.assert_array_equal(sp_np, orig_np * 2.0)
+
+        # walk tiles: real lanes must reference pairs of the owning expert
+        # (valid pairs) or the invalid group; collect coverage
+        seen = []
+        for t in range(num_tiles):
+            lanes = orig_np[src_np[t] : src_np[t] + cnt_np[t]]
+            seen.extend(lanes.tolist())
+            for pair in lanes:
+                if valid_np[pair]:
+                    assert ids_np[pair] == te_np[t]
+                    assert t < int(num_live)
+        # every pair appears exactly once across tiles
+        assert sorted(seen) == list(range(m))
+
+    def test_all_invalid(self):
+        ids = jnp.zeros((10,), jnp.int32)
+        valid = jnp.zeros((10,), bool)
+        (
+            (sp,), sorted_orig, tile_src, tile_expert, tile_count,
+            num_live, num_tiles,
+        ) = dispatch.tiled_dispatch_sorted(
+            ids, valid, (jnp.arange(10, dtype=jnp.float32),), 3, 4
+        )
+        assert int(num_live) == 0
+        # invalid pairs still occupy trailing tiles with correct indices
+        cnt = np.asarray(tile_count)
+        assert cnt.sum() == 10
+
+
 def _make_fset(num_knn=2):
     from neural_graph_mapping_tpu.models.fields import NeuralFieldSet
 
