@@ -1032,6 +1032,13 @@ class NeuralGraphMap:
             np.stack([ii, jj], -1).reshape(-1, 2).astype(np.float32)
         )
         block = self._pixel_block_size
+        # Keep the per-block sample footprint (rays x span samples) constant:
+        # at the default 8192 rays x 512 span samples the tiled render program
+        # fits HBM with headroom, but e.g. span 1024 at the full block size
+        # exceeds it (measured: 16.01G of 15.75G hbm). Shrink the ray block
+        # proportionally instead of OOMing.
+        if self._eval_span_samples > 512:
+            block = max(1024, int(block * 512 / self._eval_span_samples))
 
         tiled = (
             capacity_per_field is None
