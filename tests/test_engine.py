@@ -213,3 +213,20 @@ class TestSingleViewMode:
         assert losses and all(np.isfinite(v) for v in losses.values())
         ti = np.asarray(ngm._map_arrays.training_iterations[: ngm.num_fields])
         assert ti.sum() > 0
+
+
+class TestSingleFieldFilter:
+    def test_single_field_id_restricts_training(self):
+        """The single_field_id debug filter (reference run_mapping.py:1156-1160)
+        trains ONLY the chosen field: every other field's training-iteration
+        counter must stay zero."""
+        ds = make_dataset(10)
+        ngm = NeuralGraphMap(tiny_config(single_field_id=1))
+        for frame_id in range(len(ds)):
+            item = ds[frame_id]
+            ngm.process_frame(ds, frame_id, jnp.asarray(item["rgbd"]))
+        assert ngm.num_fields > 1
+        ti = np.asarray(ngm._map_arrays.training_iterations[: ngm.num_fields])
+        assert ti[1] > 0  # the chosen field trained
+        others = np.delete(ti, 1)
+        assert (others == 0).all(), f"non-chosen fields trained: {ti}"
