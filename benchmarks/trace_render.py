@@ -1,0 +1,103 @@
+"""Capture a jax.profiler trace of the tiled full-image render block and print
+the top self-time ops (parsed with tensorboard_plugin_profile, no UI needed).
+
+The render path (engine.render_block_tiled_jit -> fields.apply_knn_tiled) is
+the protocol-speed bottleneck for evaluate_full (ref run_mapping.py:403-437);
+this names the ops inside the ~200 ms 8192-ray block so perf work targets the
+right decomposition stage.
+"""
+
+import glob
+import sys
+import time
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from bench import build_engine
+from neural_graph_mapping_tpu.mapping.engine import render_block_tiled_jit
+
+
+def main():
+    ds, ngm = build_engine()
+    import neural_graph_mapping_tpu.camera as cam_mod
+
+    camera = cam_mod.Camera.create(
+        width=160, height=120, fx=140.0, fy=140.0, cx=80.0, cy=60.0
+    )
+    c2w = jnp.asarray(ds[5]["c2w"])
+    block = 8192
+    span = 512
+    print(
+        f"fields={ngm.num_fields} cap={ngm.capacity} block={block} span={span}",
+        flush=True,
+    )
+
+    ii = np.random.default_rng(0).uniform(0, camera.height - 1, (block,))
+    jj = np.random.default_rng(1).uniform(0, camera.width - 1, (block,))
+    ijs = jnp.asarray(np.stack([ii, jj], -1).astype(np.float32))
+
+    def one_block(key):
+        return render_block_tiled_jit(
+            ngm._fset, camera, ngm._rcfg, span,
+            ngm._eval_near, ngm._eval_far,
+            ngm._params, ngm._map_arrays.positions,
+            ngm._map_arrays.orientations, ngm._allocated_mask(),
+            ijs, c2w, key,
+        )
+
+    key = jax.random.PRNGKey(3)
+    key, sub = jax.random.split(key)
+    out = one_block(sub)
+    jax.block_until_ready(out[0])
+
+    # steady-state timing (fresh keys; relay overhead is bimodal — report min)
+    times = []
+    for _ in range(6):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        out = one_block(sub)
+        jax.block_until_ready(out[0])
+        times.append(time.time() - t0)
+    print(f"steady block: min {min(times)*1e3:.1f} ms  med {sorted(times)[3]*1e3:.1f} ms", flush=True)
+
+    trace_dir = "/tmp/jax_trace_render"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(3):
+            key, sub = jax.random.split(key)
+            out = one_block(sub)
+        jax.block_until_ready(out[0])
+
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
+    import json
+
+    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
+
+    def walk(node, depth=0, out=None):
+        out = [] if out is None else out
+        m = node.get("metrics", {})
+        out.append((m.get("time", 0.0), node.get("name", "?"), depth))
+        for ch in node.get("children", []):
+            walk(ch, depth + 1, out)
+        return out
+
+    root = prof.get("byProgram") or prof.get("byCategory") or {}
+    rows = walk(root)
+    rows.sort(reverse=True)
+    for t, name, depth in rows[:60]:
+        print(f"{t:10.6f}  {'  ' * depth}{name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
