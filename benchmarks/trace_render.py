@@ -41,9 +41,16 @@ def main():
         flush=True,
     )
 
-    ii = np.random.default_rng(0).uniform(0, camera.height - 1, (block,))
-    jj = np.random.default_rng(1).uniform(0, camera.width - 1, (block,))
-    ijs = jnp.asarray(np.stack([ii, jj], -1).astype(np.float32))
+    # canonical row-major pixel block (the render_image layout) so the
+    # ray-regenerating kernel path is representative
+    ii, jj = np.meshgrid(np.arange(camera.height), np.arange(camera.width), indexing="ij")
+    ijs_all = np.stack([ii, jj], -1).reshape(-1, 2).astype(np.float32)
+    ijs = jnp.asarray(
+        np.concatenate([ijs_all] * (block // len(ijs_all) + 1))[:block]
+    )
+    ks = ngm._fset.num_knn * span
+    use_ray = (ks & (ks - 1)) == 0
+    print(f"use_ray_kernel={use_ray}", flush=True)
 
     def one_block(key):
         return render_block_tiled_jit(
@@ -52,6 +59,8 @@ def main():
             ngm._params, ngm._map_arrays.positions,
             ngm._map_arrays.orientations, ngm._allocated_mask(),
             ijs, c2w, key,
+            use_ray_kernel=use_ray,
+            block_offset=jnp.asarray(0.0),
         )
 
     key = jax.random.PRNGKey(3)

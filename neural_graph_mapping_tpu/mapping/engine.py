@@ -1075,7 +1075,13 @@ class NeuralGraphMap:
 
         drop_counts = []
 
-        def model(ijs):
+        # ijs_all is the row-major pixel grid, so the MoE kernel can
+        # regenerate each sample's pixel from (block offset + ray index)
+        # instead of carrying coordinates through the dispatch sort
+        ks = self._fset.num_knn * self._eval_span_samples
+        use_ray_kernel = tiled and (ks & (ks - 1)) == 0
+
+        def model(ijs, offset=0):
             if tiled:
                 return render_block_tiled_jit(
                     self._fset,
@@ -1091,6 +1097,8 @@ class NeuralGraphMap:
                     ijs,
                     jnp.asarray(c2w),
                     self._next_key(),
+                    use_ray_kernel=use_ray_kernel,
+                    block_offset=jnp.asarray(offset, jnp.float32),
                 )
             rgbd, dv, dropped = self._render_ij_block(
                 ijs, c2w, camera, capacity_per_field
@@ -1098,7 +1106,9 @@ class NeuralGraphMap:
             drop_counts.append(dropped)
             return rgbd, dv
 
-        rgbds, depth_vars = chunking.batched_evaluation(model, ijs_all, block)
+        rgbds, depth_vars = chunking.batched_evaluation(
+            model, ijs_all, block, pass_offset=use_ray_kernel
+        )
         if drop_counts:
             total_dropped = int(sum(int(d) for d in drop_counts))
             if total_dropped:
@@ -1174,7 +1184,10 @@ def render_demand_probe(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fset", "camera", "rcfg", "num_samples", "near", "far", "interpret"),
+    static_argnames=(
+        "fset", "camera", "rcfg", "num_samples", "near", "far", "interpret",
+        "use_ray_kernel",
+    ),
 )
 def render_block_tiled_jit(
     fset: NeuralFieldSet,
@@ -1191,6 +1204,8 @@ def render_block_tiled_jit(
     c2w,  # (4, 4)
     key,
     interpret: bool = False,
+    use_ray_kernel: bool = False,
+    block_offset=None,  # () int/float: index of ijs[0] in the row-major grid
 ):
     """Span-restricted full-image render block with tiled MoE dispatch.
 
@@ -1233,6 +1248,34 @@ def render_block_tiled_jit(
         origin[None, None, :] + dirs_w[:, None, :] * distances[..., None]
     )
 
+    ray_ctx = None
+    if use_ray_kernel:
+        # the MoE kernel regenerates each sample point from (pair index,
+        # span distance): pack the camera/extrinsics it needs. Requires
+        # k * num_samples to be a power of two and ijs to be the row-major
+        # pixel grid starting at block_offset (render_image's layout).
+        ks = fset.num_knn * num_samples
+        log2_ks = int(np.log2(ks))
+        assert (1 << log2_ks) == ks, "use_ray_kernel needs power-of-two k*S"
+        fx, fy, cx, cy, _ = camera.get_pinhole_camera_parameters(0.0)
+        ray_params = jnp.concatenate(
+            [
+                rot.reshape(-1),  # R row-major (dir_w = R @ dir_cam)
+                origin,
+                jnp.asarray(
+                    [1.0 / fx, 1.0 / fy, cx, cy, 1.0 / camera.width,
+                     float(camera.width)],
+                    jnp.float32,
+                ),
+                jnp.asarray(block_offset, jnp.float32).reshape(1),
+            ]
+        )
+        ray_ctx = {
+            "dist": distances.reshape(-1),
+            "ray_params": ray_params,
+            "log2_ks": log2_ks,
+        }
+
     outs = fset.apply_knn_tiled(
         params,
         points_world.reshape(-1, 3),
@@ -1240,6 +1283,8 @@ def render_block_tiled_jit(
         orientations,
         allocated_mask,
         interpret=interpret,
+        pack_outputs=True,
+        ray_ctx=ray_ctx,
     ).reshape(b, num_samples, -1)
 
     sample_colors = rcfg.color_factor * outs[..., :3]

@@ -453,8 +453,17 @@ class NeuralFieldSet:
         num_knn: Optional[int] = None,
         tile: Optional[int] = None,
         interpret: bool = False,
+        pack_outputs: bool = False,
+        ray_ctx: Optional[dict] = None,
     ) -> jnp.ndarray:
         """KNN-blended evaluation via tile-sorted MoE dispatch (render/mesh).
+
+        ``ray_ctx`` (render blocks only): {"dist": (P,) span distances,
+        "ray_params": (19,) camera/extrinsics vector, "log2_ks": static
+        log2(k * samples)} — the MoE kernel then regenerates sample
+        coordinates in-kernel instead of carrying them through the dispatch
+        sort (``query_points`` must be the row-major render-block points the
+        ray model reproduces).
 
         Same semantics as :meth:`apply_knn` but NO per-field capacity: all
         valid (point, neighbor) pairs are sorted by field, packed into
@@ -485,22 +494,28 @@ class NeuralFieldSet:
         pair_valid = jnp.repeat(inside, k) & jnp.isfinite(knn_dists.reshape(-1))
         m = p * k
 
-        # sort-based dispatch: coordinates ride the sort as payloads; the
-        # tile buffer fills with per-tile CONTIGUOUS slices and outputs
-        # return to pair order via one key sort — no per-pair scatter/gather
-        # (XLA serializes those at ~12 ns/element; they were 490 ms of the
-        # 700 ms render block, traced r3)
-        cols = tuple(jnp.repeat(query_points[:, i], k) for i in range(3))
+        # sort-based dispatch: payloads ride the sort; the tile buffer fills
+        # with per-tile CONTIGUOUS slices and outputs return to pair order
+        # via one key sort — no per-pair scatter/gather (XLA serializes those
+        # at ~12 ns/element; they were 490 ms of the 700 ms render block,
+        # traced r3). With ray_ctx the payload is ONE span distance instead
+        # of three coordinates: the MoE kernel regenerates each sample point
+        # from its pair index + distance (pixel from the row-major block
+        # layout, world point from the camera model, world->local from the
+        # per-expert pose) — 2 fewer 8.4M-lane arrays through the sort, the
+        # pair-coordinate repeats and the tile coordinate slices disappear.
+        if ray_ctx is not None:
+            pair_payloads = (jnp.repeat(ray_ctx["dist"], k),)
+        else:
+            pair_payloads = tuple(
+                jnp.repeat(query_points[:, i], k) for i in range(3)
+            )
         (
-            (sx, sy, sz), sorted_orig, tile_src, tile_expert, tile_count,
+            sorted_payloads, sorted_orig, tile_src, tile_expert, tile_count,
             num_live, num_tiles,
-        ) = dispatch.tiled_dispatch_sorted(pair_ids, pair_valid, cols, n, tile)
+        ) = dispatch.tiled_dispatch_sorted(pair_ids, pair_valid, pair_payloads, n, tile)
         total = num_tiles * tile
 
-        fsrc = jnp.pad(jnp.stack([sx, sy, sz], axis=0), ((0, 0), (0, tile)))
-        buf_xyz = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(fsrc, (0, s), (3, tile))
-        )(tile_src)  # (num_tiles, 3, tile)
         isrc = jnp.pad(sorted_orig, (0, tile))
         buf_orig = jax.vmap(
             lambda s: jax.lax.dynamic_slice(isrc, (s,), (tile,))
@@ -508,18 +523,47 @@ class NeuralFieldSet:
         lane = jnp.arange(tile, dtype=jnp.int32)[None, :]
         bkey = jnp.where(lane < tile_count[:, None], buf_orig, m)
 
-        tile_pos = field_positions[tile_expert]  # (num_tiles, 3)
-        tile_quat = field_orientations[tile_expert]
-        local = self.world_to_local_soa(
-            (buf_xyz[:, 0], buf_xyz[:, 1], buf_xyz[:, 2]), tile_pos, tile_quat
-        )
-        coords_stacked = jnp.stack(local, axis=1)  # (num_tiles, 3, tile)
+        if ray_ctx is not None:
+            dsrc = jnp.pad(sorted_payloads[0], (0, tile))
+            buf_dist = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(dsrc, (s,), (tile,))
+            )(tile_src)  # (num_tiles, tile)
+            if self.scale_mode == "unit_cube":
+                cs, csh = 1.0 / (2.0 * self.field_radius), 0.5
+            elif self.scale_mode == "unit_ball":
+                cs, csh = 1.0 / self.field_radius, 0.0
+            else:
+                cs, csh = 1.0, 0.0
+            field_poses = jnp.concatenate(
+                [field_positions, field_orientations], axis=-1
+            )  # (N, 7)
+            feats = permuto_pallas.encode_fwd_moe_rays(
+                stacked_params["enc.table"], buf_orig, buf_dist, tile_expert,
+                ray_ctx["ray_params"], field_poses,
+                enc._scales_t, enc._shifts_t, enc._elev_t,
+                enc.level_capacities, log2_ks=ray_ctx["log2_ks"],
+                coord_scale=cs, coord_shift=csh,
+                num_live_tiles=num_live, interpret=interpret,
+            )  # (num_tiles, 2L, tile)
+        else:
+            (sx, sy, sz) = sorted_payloads
+            fsrc = jnp.pad(jnp.stack([sx, sy, sz], axis=0), ((0, 0), (0, tile)))
+            buf_xyz = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(fsrc, (0, s), (3, tile))
+            )(tile_src)  # (num_tiles, 3, tile)
 
-        feats = permuto_pallas.encode_fwd_moe(
-            stacked_params["enc.table"], coords_stacked, tile_expert,
-            enc._scales_t, enc._shifts_t, enc._elev_t, enc.level_capacities,
-            num_live_tiles=num_live, interpret=interpret,
-        )  # (num_tiles, 2L, tile)
+            tile_pos = field_positions[tile_expert]  # (num_tiles, 3)
+            tile_quat = field_orientations[tile_expert]
+            local = self.world_to_local_soa(
+                (buf_xyz[:, 0], buf_xyz[:, 1], buf_xyz[:, 2]), tile_pos, tile_quat
+            )
+            coords_stacked = jnp.stack(local, axis=1)  # (num_tiles, 3, tile)
+
+            feats = permuto_pallas.encode_fwd_moe(
+                stacked_params["enc.table"], coords_stacked, tile_expert,
+                enc._scales_t, enc._shifts_t, enc._elev_t, enc.level_capacities,
+                num_live_tiles=num_live, interpret=interpret,
+            )  # (num_tiles, 2L, tile)
 
         mlp_params = {
             key: v[tile_expert]
@@ -534,11 +578,48 @@ class NeuralFieldSet:
         # key sort on the carried original pair index: real lanes (keys
         # 0..m-1, unique) land in pair order in the first m entries; padding
         # lanes (key m) sort behind them
-        back = jax.lax.sort(
-            (bkey.reshape(total),) + tuple(flat_fm[c] for c in range(dim_out)),
-            num_keys=1,
-        )
-        pair_outs_fm = jnp.stack(back[1:], axis=0)[:, :m]  # (dim_out, P*k)
+        if pack_outputs and dim_out == 4:
+            # Pack channel pairs into uint32 lanes (two bf16 halves): the
+            # back sort then moves 3 arrays instead of 5. bf16 output
+            # precision (rel ~0.4%) sits far above the render-metric noise
+            # floor (~48 dB PSNR ceiling vs ~25 dB signal; occupancy-bell
+            # error <= 4e-3) — render paths opt in, meshing/tests keep f32.
+            def pack2(a, b):
+                ua = jax.lax.bitcast_convert_type(
+                    a.astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32)
+                ub = jax.lax.bitcast_convert_type(
+                    b.astype(jnp.bfloat16), jnp.uint16
+                ).astype(jnp.uint32)
+                return (ua << 16) | ub
+
+            back = jax.lax.sort(
+                (
+                    bkey.reshape(total),
+                    pack2(flat_fm[0], flat_fm[1]),
+                    pack2(flat_fm[2], flat_fm[3]),
+                ),
+                num_keys=1,
+            )
+
+            def unpack2(u):
+                hi = jax.lax.bitcast_convert_type(
+                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
+                ).astype(jnp.float32)
+                lo = jax.lax.bitcast_convert_type(
+                    (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+                ).astype(jnp.float32)
+                return hi, lo
+
+            c0, c1 = unpack2(back[1])
+            c2, c3 = unpack2(back[2])
+            pair_outs_fm = jnp.stack([c0, c1, c2, c3], axis=0)[:, :m]
+        else:
+            back = jax.lax.sort(
+                (bkey.reshape(total),) + tuple(flat_fm[c] for c in range(dim_out)),
+                num_keys=1,
+            )
+            pair_outs_fm = jnp.stack(back[1:], axis=0)[:, :m]  # (dim_out, P*k)
         pair_outs_fm = jnp.where(pair_valid[None, :], pair_outs_fm, 0.0)
 
         # softmax distance blend (models.py:384, 399); no capacity drops, so

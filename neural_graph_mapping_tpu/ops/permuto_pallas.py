@@ -163,18 +163,24 @@ def _encode_fwd_kernel(
         out_ref[0, 2 * l + 1] = out1
 
 
-def _sweep_features(tab_ref, coords_ref, scales, shifts, elev, t_size, mxu_dtype):
+def _sweep_features(tab_ref, coords, scales, shifts, elev, t_size, mxu_dtype):
     """Lattice + gather sweep + blend: yields per level the two blended
-    feature slabs (rows, 128). Shared by the plain encode kernel and the
-    fused encode+MLP kernel."""
+    feature slabs (rows, 128). Shared by the plain encode kernel, the fused
+    encode+MLP kernel, and the ray-generating MoE kernel.
+
+    ``coords`` is either a coords ref ((1, 3, rows, 128) block) or a tuple of
+    three (rows, 128) coordinate arrays already in registers."""
     packed = mxu_dtype == jnp.bfloat16
     n_levels = len(scales)
     rows = TILE_M // N_LANE
     t_sizes = (t_size,) * n_levels if isinstance(t_size, int) else t_size
 
-    xs = coords_ref[0, 0]  # (rows, 128)
-    ys = coords_ref[0, 1]
-    zs = coords_ref[0, 2]
+    if isinstance(coords, tuple):
+        xs, ys, zs = coords
+    else:
+        xs = coords[0, 0]  # (rows, 128)
+        ys = coords[0, 1]
+        zs = coords[0, 2]
     levels = _lattice_tile(xs, ys, zs, scales, shifts, elev)
     hi_mask = jnp.int32(-65536)  # 0xffff0000
     outs = []
@@ -409,6 +415,177 @@ def encode_fwd_moe(
         ),
         interpret=interpret,
     )(tile_experts, tab, coords_f)
+    return out.reshape(num_tiles, 2 * n_levels, TILE_M)
+
+
+def _encode_fwd_moe_rays_kernel(
+    ids_ref, rayp_ref, pose_ref, tab_ref, orig_ref, dist_ref, out_ref,
+    *, scales, shifts, elev, t_size, mxu_dtype, log2_ks, coord_scale, coord_shift,
+):
+    """MoE encode that REGENERATES its input coordinates from the ray model.
+
+    Instead of carrying (x, y, z) payloads through the dispatch sort and the
+    tile-build slices (3 extra 8.4M-element arrays per render block, traced
+    r3), each lane derives its sample point from the carried pair index and
+    span distance:
+
+        ray   = orig >> log2(k * S)          (pair -> ray, static shift)
+        pixel = block_offset + ray           (render blocks are row-major)
+        dir   = normalize(((j-cx)/fx, -(i-cy)/fy, -1))  @ R^T (camera.py:118)
+        world = origin + dir * dist
+        local = conj(q_field) * (world - p_field)  (+ unit-cube scale)
+
+    Camera intrinsics / extrinsics ride in a scalar-prefetch f32 vector
+    (``rayp``: R row-major 9, origin 3, inv_fx, inv_fy, cx, cy, inv_w, w,
+    offset), the per-expert field poses in another (``pose``: (N*7,) px py pz
+    qw qx qy qz). Live-tile skip as in _encode_fwd_moe_kernel."""
+    num_tiles = ids_ref.shape[0] - 1
+    t = pl.program_id(0)
+
+    @pl.when(t < ids_ref[num_tiles])
+    def _():
+        e = ids_ref[t]
+        orig = orig_ref[0]  # (rows, 128) int32
+        dist = dist_ref[0]  # (rows, 128) f32
+        ray = jax.lax.shift_right_logical(orig, log2_ks)
+        pixf = ray.astype(jnp.float32) + rayp_ref[18]
+        # i = floor((pix + 0.5) / w): pix integer-valued, never on a boundary
+        iy = jnp.floor((pixf + 0.5) * rayp_ref[16])
+        jx = pixf - iy * rayp_ref[17]
+        dx = (jx - rayp_ref[14]) * rayp_ref[12]
+        dy = -(iy - rayp_ref[15]) * rayp_ref[13]
+        inv_n = jax.lax.rsqrt(dx * dx + dy * dy + 1.0)
+        # world direction = R @ (dx, dy, -1) * inv_n
+        dwx = (rayp_ref[0] * dx + rayp_ref[1] * dy - rayp_ref[2]) * inv_n
+        dwy = (rayp_ref[3] * dx + rayp_ref[4] * dy - rayp_ref[5]) * inv_n
+        dwz = (rayp_ref[6] * dx + rayp_ref[7] * dy - rayp_ref[8]) * inv_n
+        px = rayp_ref[9] + dwx * dist - pose_ref[e * 7 + 0]
+        py = rayp_ref[10] + dwy * dist - pose_ref[e * 7 + 1]
+        pz = rayp_ref[11] + dwz * dist - pose_ref[e * 7 + 2]
+        # inverse quaternion rotate (conjugate), as fields.world_to_local_soa
+        qw = pose_ref[e * 7 + 3]
+        qx = -pose_ref[e * 7 + 4]
+        qy = -pose_ref[e * 7 + 5]
+        qz = -pose_ref[e * 7 + 6]
+        tx = 2.0 * (qy * pz - qz * py)
+        ty = 2.0 * (qz * px - qx * pz)
+        tz = 2.0 * (qx * py - qy * px)
+        xs = (px + qw * tx + (qy * tz - qz * ty)) * coord_scale + coord_shift
+        ys = (py + qw * ty + (qz * tx - qx * tz)) * coord_scale + coord_shift
+        zs = (pz + qw * tz + (qx * ty - qy * tx)) * coord_scale + coord_shift
+
+        for l, (out0, out1) in enumerate(
+            _sweep_features(
+                tab_ref, (xs, ys, zs), scales, shifts, elev, t_size, mxu_dtype
+            )
+        ):
+            out_ref[0, 2 * l] = out0
+            out_ref[0, 2 * l + 1] = out1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scales", "shifts", "elev", "t_size", "log2_ks", "coord_scale",
+        "coord_shift", "interpret", "mxu_dtype",
+    ),
+)
+def encode_fwd_moe_rays(
+    tables, buf_orig, buf_dist, tile_experts, ray_params, field_poses,
+    scales, shifts, elev, t_size, log2_ks, coord_scale, coord_shift,
+    num_live_tiles=None, interpret=False, mxu_dtype=None,
+):
+    """encode_fwd_moe variant that computes sample coordinates in-kernel.
+
+    Args:
+        tables: (N, 2, L, T) per-expert feature-major hash tables.
+        buf_orig: (num_tiles, TILE_M) int32 sorted pair indices per tile.
+        buf_dist: (num_tiles, TILE_M) f32 sample span distances per tile.
+        tile_experts: (num_tiles,) int32 owning expert per tile.
+        ray_params: (19,) f32 — see _encode_fwd_moe_rays_kernel.
+        field_poses: (N, 7) f32 position wxyz-quaternion per expert.
+        log2_ks: static log2(num_knn * num_samples) for pair->ray shifts.
+        coord_scale/coord_shift: static local-frame scaling (scale_mode).
+
+    Returns:
+        (num_tiles, 2 * L, TILE_M) blended features.
+    """
+    mxu_dtype = MXU_DTYPE if mxu_dtype is None else mxu_dtype
+    n = tables.shape[0]
+    n_levels = len(scales)
+    t_max = t_size if isinstance(t_size, int) else max(t_size)
+    rows = TILE_M // N_LANE
+    num_tiles = buf_orig.shape[0]
+    assert buf_orig.shape == (num_tiles, TILE_M)
+    live = (
+        jnp.full((1,), num_tiles, jnp.int32)
+        if num_live_tiles is None
+        else jnp.asarray(num_live_tiles, jnp.int32).reshape(1)
+    )
+    tile_experts = jnp.concatenate([tile_experts.astype(jnp.int32), live])
+    orig_f = buf_orig.reshape(num_tiles, rows, N_LANE)
+    dist_f = buf_dist.reshape(num_tiles, rows, N_LANE)
+    tab = tables.reshape(n, 2, n_levels, t_max)
+    t_pad = (-t_max) % N_LANE
+    if t_pad:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((n, 2, n_levels, t_pad), tab.dtype)], axis=-1
+        )
+    n_chunks = (t_max + t_pad) // N_LANE
+    tab = tab.reshape(n, 2, n_levels, n_chunks, N_LANE)
+    if mxu_dtype == jnp.bfloat16:
+        tab = _pack_pair_tables(tab)  # (n, L, n_chunks, 128) int32
+        tab_block = (1, n_levels, n_chunks, N_LANE)
+        tab_index = lambda t, ids, rayp, pose: (ids[t], 0, 0, 0)
+    else:
+        tab_block = (1, 2, n_levels, n_chunks, N_LANE)
+        tab_index = lambda t, ids, rayp, pose: (ids[t], 0, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(tab_block, tab_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, rows, N_LANE), lambda t, ids, rayp, pose: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, N_LANE), lambda t, ids, rayp, pose: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2 * n_levels, rows, N_LANE),
+            lambda t, ids, rayp, pose: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _encode_fwd_moe_rays_kernel, scales=scales, shifts=shifts,
+            elev=elev, t_size=t_size, mxu_dtype=mxu_dtype, log2_ks=log2_ks,
+            coord_scale=coord_scale, coord_shift=coord_shift,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_tiles, 2 * n_levels, rows, N_LANE), jnp.float32
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=num_tiles * n_levels * 4 * TILE_M * (3 * n_chunks + 4),
+            bytes_accessed=num_tiles * (TILE_M * 8 + 2 * n_levels * TILE_M * 4)
+            + n * n_levels * t_max * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        tile_experts,
+        ray_params.astype(jnp.float32),
+        field_poses.reshape(-1).astype(jnp.float32),
+        tab,
+        orig_f,
+        dist_f,
+    )
     return out.reshape(num_tiles, 2 * n_levels, TILE_M)
 
 

@@ -20,11 +20,14 @@ def batched_evaluation(
     inputs: jnp.ndarray,
     block_size: int,
     progressbar: bool = False,
+    pass_offset: bool = False,
 ) -> Union[jnp.ndarray, Tuple]:
     """Evaluate ``model`` over ``inputs`` in blocks along axis 0.
 
     Unlike the reference, the last block is PADDED to ``block_size`` (and the
     padding stripped from the outputs) so only one program is compiled.
+    With ``pass_offset`` the model is called as ``model(block, start_index)``
+    (render blocks use the offset to regenerate pixel ids in-kernel).
     """
     n = inputs.shape[0]
     pad = (-n) % block_size
@@ -41,7 +44,10 @@ def batched_evaluation(
         except ImportError:
             pass
 
-    outs = [model(inputs[s : s + block_size]) for s in blocks]
+    if pass_offset:
+        outs = [model(inputs[s : s + block_size], s) for s in blocks]
+    else:
+        outs = [model(inputs[s : s + block_size]) for s in blocks]
 
     if isinstance(outs[0], tuple):
         return tuple(

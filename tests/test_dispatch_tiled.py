@@ -186,3 +186,28 @@ class TestApplyKnnTiled:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
         )
+
+
+class TestPackedOutputs:
+    def test_pack_outputs_matches_bf16(self):
+        """pack_outputs=True rides the back sort as two bf16-pair uint32
+        lanes; results must match the f32 path to bf16 precision."""
+        fset = _make_fset()
+        key = jax.random.PRNGKey(0)
+        n = 5
+        params = fset.init_fields(key, n)
+        positions = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 1.5
+        orientations = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (n, 1))
+        valid = jnp.asarray([True, True, True, True, False])
+        pts = jax.random.normal(jax.random.PRNGKey(2), (300, 3)) * 2.0
+
+        want = fset.apply_knn_tiled(
+            params, pts, positions, orientations, valid, interpret=True
+        )
+        got = fset.apply_knn_tiled(
+            params, pts, positions, orientations, valid, interpret=True,
+            pack_outputs=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=8e-3, rtol=8e-3
+        )
