@@ -19,6 +19,15 @@ class TestChunking:
         out = chunking.batched_evaluation(f, x, block_size=16)
         np.testing.assert_allclose(np.asarray(out), np.asarray(f(x)))
 
+    def test_pass_offset(self):
+        """pass_offset hands each block its start index (render blocks
+        regenerate pixel ids from it)."""
+        f = lambda x, off: x + float(off)
+        x = jnp.zeros((10, 1))
+        out = chunking.batched_evaluation(f, x, block_size=4, pass_offset=True)
+        want = np.concatenate([np.zeros(4), np.full(4, 4.0), np.full(2, 8.0)])
+        np.testing.assert_allclose(np.asarray(out)[:, 0], want)
+
     def test_tuple_outputs(self):
         f = lambda x: (x + 1.0, x.sum(axis=-1))
         x = jnp.ones((10, 3))
