@@ -1098,7 +1098,7 @@ class NeuralGraphMap:
                     jnp.asarray(c2w),
                     self._next_key(),
                     use_ray_kernel=use_ray_kernel,
-                    block_offset=jnp.asarray(offset, jnp.float32),
+                    block_offset=jnp.asarray(offset, jnp.int32),
                 )
             rgbd, dv, dropped = self._render_ij_block(
                 ijs, c2w, camera, capacity_per_field
@@ -1257,23 +1257,21 @@ def render_block_tiled_jit(
         ks = fset.num_knn * num_samples
         log2_ks = int(np.log2(ks))
         assert (1 << log2_ks) == ks, "use_ray_kernel needs power-of-two k*S"
+        assert block_offset is not None, "use_ray_kernel needs block_offset"
         fx, fy, cx, cy, _ = camera.get_pinhole_camera_parameters(0.0)
         ray_params = jnp.concatenate(
             [
                 rot.reshape(-1),  # R row-major (dir_w = R @ dir_cam)
                 origin,
-                jnp.asarray(
-                    [1.0 / fx, 1.0 / fy, cx, cy, 1.0 / camera.width,
-                     float(camera.width)],
-                    jnp.float32,
-                ),
-                jnp.asarray(block_offset, jnp.float32).reshape(1),
+                jnp.asarray([1.0 / fx, 1.0 / fy, cx, cy], jnp.float32),
             ]
         )
         ray_ctx = {
             "dist": distances.reshape(-1),
             "ray_params": ray_params,
+            "block_offset": jnp.asarray(block_offset, jnp.int32),
             "log2_ks": log2_ks,
+            "width": int(camera.width),
         }
 
     outs = fset.apply_knn_tiled(

@@ -459,11 +459,12 @@ class NeuralFieldSet:
         """KNN-blended evaluation via tile-sorted MoE dispatch (render/mesh).
 
         ``ray_ctx`` (render blocks only): {"dist": (P,) span distances,
-        "ray_params": (19,) camera/extrinsics vector, "log2_ks": static
-        log2(k * samples)} — the MoE kernel then regenerates sample
-        coordinates in-kernel instead of carrying them through the dispatch
-        sort (``query_points`` must be the row-major render-block points the
-        ray model reproduces).
+        "ray_params": (16,) camera/extrinsics vector, "block_offset": ()
+        int32, "log2_ks": static log2(k * samples), "width": static image
+        width} — the MoE kernel then regenerates sample coordinates
+        in-kernel instead of carrying them through the dispatch sort
+        (``query_points`` must be the row-major render-block points the ray
+        model reproduces).
 
         Same semantics as :meth:`apply_knn` but NO per-field capacity: all
         valid (point, neighbor) pairs are sorted by field, packed into
@@ -539,10 +540,10 @@ class NeuralFieldSet:
             )  # (N, 7)
             feats = permuto_pallas.encode_fwd_moe_rays(
                 stacked_params["enc.table"], buf_orig, buf_dist, tile_expert,
-                ray_ctx["ray_params"], field_poses,
+                ray_ctx["ray_params"], field_poses, ray_ctx["block_offset"],
                 enc._scales_t, enc._shifts_t, enc._elev_t,
                 enc.level_capacities, log2_ks=ray_ctx["log2_ks"],
-                coord_scale=cs, coord_shift=csh,
+                width=ray_ctx["width"], coord_scale=cs, coord_shift=csh,
                 num_live_tiles=num_live, interpret=interpret,
             )  # (num_tiles, 2L, tile)
         else:
@@ -584,35 +585,16 @@ class NeuralFieldSet:
             # precision (rel ~0.4%) sits far above the render-metric noise
             # floor (~48 dB PSNR ceiling vs ~25 dB signal; occupancy-bell
             # error <= 4e-3) — render paths opt in, meshing/tests keep f32.
-            def pack2(a, b):
-                ua = jax.lax.bitcast_convert_type(
-                    a.astype(jnp.bfloat16), jnp.uint16
-                ).astype(jnp.uint32)
-                ub = jax.lax.bitcast_convert_type(
-                    b.astype(jnp.bfloat16), jnp.uint16
-                ).astype(jnp.uint32)
-                return (ua << 16) | ub
-
             back = jax.lax.sort(
                 (
                     bkey.reshape(total),
-                    pack2(flat_fm[0], flat_fm[1]),
-                    pack2(flat_fm[2], flat_fm[3]),
+                    permuto_pallas.pack_bf16_pair(flat_fm[0], flat_fm[1]),
+                    permuto_pallas.pack_bf16_pair(flat_fm[2], flat_fm[3]),
                 ),
                 num_keys=1,
             )
-
-            def unpack2(u):
-                hi = jax.lax.bitcast_convert_type(
-                    (u >> 16).astype(jnp.uint16), jnp.bfloat16
-                ).astype(jnp.float32)
-                lo = jax.lax.bitcast_convert_type(
-                    (u & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
-                ).astype(jnp.float32)
-                return hi, lo
-
-            c0, c1 = unpack2(back[1])
-            c2, c3 = unpack2(back[2])
+            c0, c1 = permuto_pallas.unpack_bf16_pair(back[1])
+            c2, c3 = permuto_pallas.unpack_bf16_pair(back[2])
             pair_outs_fm = jnp.stack([c0, c1, c2, c3], axis=0)[:, :m]
         else:
             back = jax.lax.sort(

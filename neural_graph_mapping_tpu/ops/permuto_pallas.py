@@ -283,20 +283,37 @@ def _encode_bwd_kernel(
         out_ref[0, 1, l, :, :] = out_ref[0, 1, l, :, :] + acc[:, N_LO:]
 
 
+def pack_bf16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pack two f32 arrays into one int32 lane: ``a`` as bf16 in the high 16
+    bits, ``b`` in the low 16. The single packing convention shared by the
+    table packer, the render back-sort payloads, and the in-kernel unpack."""
+    ba = jax.lax.bitcast_convert_type(a.astype(jnp.bfloat16), jnp.uint16).astype(
+        jnp.int32
+    )
+    bb = jax.lax.bitcast_convert_type(b.astype(jnp.bfloat16), jnp.uint16).astype(
+        jnp.int32
+    )
+    return (ba << 16) | bb
+
+
+def unpack_bf16_pair(u: jnp.ndarray):
+    """Inverse of :func:`pack_bf16_pair` -> (high f32, low f32)."""
+    u = u.astype(jnp.int32)
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(u, 16).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        (u & jnp.int32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+    return hi, lo
+
+
 def _pack_pair_tables(tab: jnp.ndarray) -> jnp.ndarray:
     """(..., 2, L, C, 128) f32 -> (..., L, C, 128) int32 with feature 0 as
     bf16 in the high 16 bits and feature 1 in the low 16 (one XLA pass; lets
     the fwd kernel gather both features of a level in one lane shuffle).
     The feature axis is major (contiguous slices) per the (2, L, T) layout."""
-    f0 = jnp.take(tab, 0, axis=-4)
-    f1 = jnp.take(tab, 1, axis=-4)
-    b0 = jax.lax.bitcast_convert_type(
-        f0.astype(jnp.bfloat16), jnp.uint16
-    ).astype(jnp.int32)
-    b1 = jax.lax.bitcast_convert_type(
-        f1.astype(jnp.bfloat16), jnp.uint16
-    ).astype(jnp.int32)
-    return (b0 << 16) | b1
+    return pack_bf16_pair(jnp.take(tab, 0, axis=-4), jnp.take(tab, 1, axis=-4))
 
 
 def _encode_fwd_moe_kernel(
@@ -420,7 +437,8 @@ def encode_fwd_moe(
 
 def _encode_fwd_moe_rays_kernel(
     ids_ref, rayp_ref, pose_ref, tab_ref, orig_ref, dist_ref, out_ref,
-    *, scales, shifts, elev, t_size, mxu_dtype, log2_ks, coord_scale, coord_shift,
+    *, scales, shifts, elev, t_size, mxu_dtype, log2_ks, width,
+    coord_scale, coord_shift,
 ):
     """MoE encode that REGENERATES its input coordinates from the ray model.
 
@@ -436,10 +454,14 @@ def _encode_fwd_moe_rays_kernel(
         local = conj(q_field) * (world - p_field)  (+ unit-cube scale)
 
     Camera intrinsics / extrinsics ride in a scalar-prefetch f32 vector
-    (``rayp``: R row-major 9, origin 3, inv_fx, inv_fy, cx, cy, inv_w, w,
-    offset), the per-expert field poses in another (``pose``: (N*7,) px py pz
-    qw qx qy qz). Live-tile skip as in _encode_fwd_moe_kernel."""
-    num_tiles = ids_ref.shape[0] - 1
+    (``rayp``: R row-major 9, origin 3, inv_fx, inv_fy, cx, cy), the
+    per-expert field poses in another (``pose``: (N*7,) px py pz qw qx qy
+    qz), and the pixel index of the block's first ray in the last element of
+    the int32 prefetch array. The image width is STATIC so the row split is
+    exact integer arithmetic at any resolution (an f32 reciprocal-multiply
+    starts misassigning rows above ~5.6M pixels). Live-tile skip as in
+    _encode_fwd_moe_kernel."""
+    num_tiles = ids_ref.shape[0] - 2
     t = pl.program_id(0)
 
     @pl.when(t < ids_ref[num_tiles])
@@ -448,10 +470,10 @@ def _encode_fwd_moe_rays_kernel(
         orig = orig_ref[0]  # (rows, 128) int32
         dist = dist_ref[0]  # (rows, 128) f32
         ray = jax.lax.shift_right_logical(orig, log2_ks)
-        pixf = ray.astype(jnp.float32) + rayp_ref[18]
-        # i = floor((pix + 0.5) / w): pix integer-valued, never on a boundary
-        iy = jnp.floor((pixf + 0.5) * rayp_ref[16])
-        jx = pixf - iy * rayp_ref[17]
+        pix = ray + ids_ref[num_tiles + 1]
+        iy_i = pix // width  # static divisor -> exact multiply-shift
+        iy = iy_i.astype(jnp.float32)
+        jx = (pix - iy_i * width).astype(jnp.float32)
         dx = (jx - rayp_ref[14]) * rayp_ref[12]
         dy = -(iy - rayp_ref[15]) * rayp_ref[13]
         inv_n = jax.lax.rsqrt(dx * dx + dy * dy + 1.0)
@@ -486,14 +508,15 @@ def _encode_fwd_moe_rays_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scales", "shifts", "elev", "t_size", "log2_ks", "coord_scale",
-        "coord_shift", "interpret", "mxu_dtype",
+        "scales", "shifts", "elev", "t_size", "log2_ks", "width",
+        "coord_scale", "coord_shift", "interpret", "mxu_dtype",
     ),
 )
 def encode_fwd_moe_rays(
     tables, buf_orig, buf_dist, tile_experts, ray_params, field_poses,
-    scales, shifts, elev, t_size, log2_ks, coord_scale, coord_shift,
-    num_live_tiles=None, interpret=False, mxu_dtype=None,
+    block_offset, scales, shifts, elev, t_size, log2_ks, width,
+    coord_scale, coord_shift, num_live_tiles=None, interpret=False,
+    mxu_dtype=None,
 ):
     """encode_fwd_moe variant that computes sample coordinates in-kernel.
 
@@ -502,9 +525,11 @@ def encode_fwd_moe_rays(
         buf_orig: (num_tiles, TILE_M) int32 sorted pair indices per tile.
         buf_dist: (num_tiles, TILE_M) f32 sample span distances per tile.
         tile_experts: (num_tiles,) int32 owning expert per tile.
-        ray_params: (19,) f32 — see _encode_fwd_moe_rays_kernel.
+        ray_params: (16,) f32 — see _encode_fwd_moe_rays_kernel.
         field_poses: (N, 7) f32 position wxyz-quaternion per expert.
+        block_offset: () int32 pixel index of the block's first ray.
         log2_ks: static log2(num_knn * num_samples) for pair->ray shifts.
+        width: static image width (integer row split).
         coord_scale/coord_shift: static local-frame scaling (scale_mode).
 
     Returns:
@@ -522,7 +547,13 @@ def encode_fwd_moe_rays(
         if num_live_tiles is None
         else jnp.asarray(num_live_tiles, jnp.int32).reshape(1)
     )
-    tile_experts = jnp.concatenate([tile_experts.astype(jnp.int32), live])
+    tile_experts = jnp.concatenate(
+        [
+            tile_experts.astype(jnp.int32),
+            live,
+            jnp.asarray(block_offset, jnp.int32).reshape(1),
+        ]
+    )
     orig_f = buf_orig.reshape(num_tiles, rows, N_LANE)
     dist_f = buf_dist.reshape(num_tiles, rows, N_LANE)
     tab = tables.reshape(n, 2, n_levels, t_max)
@@ -565,7 +596,7 @@ def encode_fwd_moe_rays(
         functools.partial(
             _encode_fwd_moe_rays_kernel, scales=scales, shifts=shifts,
             elev=elev, t_size=t_size, mxu_dtype=mxu_dtype, log2_ks=log2_ks,
-            coord_scale=coord_scale, coord_shift=coord_shift,
+            width=width, coord_scale=coord_scale, coord_shift=coord_shift,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(

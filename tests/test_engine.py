@@ -230,3 +230,58 @@ class TestSingleFieldFilter:
         assert ti[1] > 0  # the chosen field trained
         others = np.delete(ti, 1)
         assert (others == 0).all(), f"non-chosen fields trained: {ti}"
+
+
+class TestRayKernelRenderPath:
+    """The in-kernel ray-regeneration render path (encode_fwd_moe_rays) must
+    match the carried-coordinate tiled path exactly (interpret mode), and
+    must actually be active (offset-sensitive)."""
+
+    def _setup(self):
+        import sys, pathlib
+        sys.path.insert(0, str(pathlib.Path(__file__).parent))
+        from test_dispatch_tiled import _make_fset
+        from neural_graph_mapping_tpu.mapping.render import RenderConfig
+        from neural_graph_mapping_tpu import camera as cam_mod
+
+        fset = _make_fset()
+        params = fset.init_fields(jax.random.PRNGKey(0), 5)
+        positions = jax.random.normal(jax.random.PRNGKey(1), (5, 3)) * 1.5
+        orientations = jax.random.normal(jax.random.PRNGKey(5), (5, 4))
+        orientations = orientations / jnp.linalg.norm(
+            orientations, axis=-1, keepdims=True
+        )
+        valid = jnp.asarray([True, True, True, True, False])
+        camera = cam_mod.Camera.create(
+            width=16, height=12, fx=14.0, fy=14.0, cx=8.0, cy=6.0
+        )
+        rcfg = RenderConfig(
+            geometry_mode="nrgbd", geometry_factor=20.0, color_factor=1.0
+        )
+        c2w = jnp.eye(4).at[2, 3].set(3.0)
+        ii, jj = np.meshgrid(np.arange(12), np.arange(16), indexing="ij")
+        ijs_all = np.stack([ii, jj], -1).reshape(-1, 2).astype(np.float32)
+        return fset, params, positions, orientations, valid, camera, rcfg, c2w, ijs_all
+
+    def test_matches_carried_coordinates(self):
+        from neural_graph_mapping_tpu.mapping.engine import render_block_tiled_jit
+
+        (fset, params, positions, orientations, valid, camera, rcfg, c2w,
+         ijs_all) = self._setup()
+        offset, B, S = 64, 64, 32  # k*S = 64, power of two
+        ijs = jnp.asarray(ijs_all[offset:offset + B])
+        args = (fset, camera, rcfg, S, 0.1, 8.0, params, positions,
+                orientations, valid, ijs, c2w, jax.random.PRNGKey(7))
+        a = render_block_tiled_jit(*args, interpret=True)
+        b = render_block_tiled_jit(
+            *args, interpret=True, use_ray_kernel=True,
+            block_offset=jnp.asarray(offset, jnp.int32),
+        )
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        # wrong offset must CHANGE the output (proves the ray path is live)
+        c = render_block_tiled_jit(
+            *args, interpret=True, use_ray_kernel=True,
+            block_offset=jnp.asarray(offset + 16, jnp.int32),
+        )
+        assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 0
