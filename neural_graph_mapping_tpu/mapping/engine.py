@@ -1110,19 +1110,9 @@ class NeuralGraphMap:
             model, ijs_all, block, pass_offset=use_ray_kernel
         )
         if drop_counts:
-            total_dropped = int(sum(int(d) for d in drop_counts))
-            if total_dropped:
-                # the capacity fallback silently renormalizes over surviving
-                # pairs (bias up to 0.48 measured, VERDICT r2 Weak #5) —
-                # never let that pass silently
-                logger.warning(
-                    "capacity render path DROPPED %d KNN pairs (probe-sized "
-                    "capacity %d too small under demand skew); rendered "
-                    "colors/depths are biased where drops occurred. Use the "
-                    "tiled path (TPU) or raise capacity_per_field.",
-                    total_dropped,
-                    capacity_per_field,
-                )
+            chunking.warn_dropped_pairs(
+                drop_counts, logger, "render", capacity_per_field
+            )
         return rgbds.reshape(h, w, 4), depth_vars.reshape(h, w)
 
     def _render_ij_block(self, ijs, c2w, camera, capacity_per_field):

@@ -122,14 +122,7 @@ def extract_mesh(
         result = np.asarray(
             chunking.batched_evaluation(model, jnp.asarray(pts), eval_chunk)
         )
-        if drop_counts:
-            total = int(sum(int(d) for d in drop_counts))
-            if total:
-                logger.warning(
-                    "meshing capacity path DROPPED %d KNN pairs (capacity %d "
-                    "too small under skew); extracted geometry is biased "
-                    "where drops occurred", total, knn_capacity,
-                )
+        chunking.warn_dropped_pairs(drop_counts, logger, "meshing", knn_capacity)
         return result
 
     all_verts, all_faces, all_colors = [], [], []

@@ -528,6 +528,22 @@ class NeuralGraphMapRunner:
             for k, v in data.items()
             if k.startswith("params.")
         }
+        if "enc.table" in params:
+            # layout guard: tables are (N, F, L, T) feature-axis-MAJOR since
+            # the c22e28f layout flip. A pre-flip (N, L, F, T) checkpoint has
+            # the same element count, so every consumer's reshape would
+            # silently interleave levels into features — renders/meshes
+            # would be garbage with no error. Fail loudly instead.
+            enc = e._fset.prototype.encoding
+            t = params["enc.table"]
+            want = (enc.nr_feat_per_level, enc.nr_levels)
+            if t.ndim == 4 and t.shape[1:3] != want:
+                raise ValueError(
+                    f"checkpoint enc.table has shape {t.shape}; expected "
+                    f"(N, F={want[0]}, L={want[1]}, T) — this looks like a "
+                    "pre-layout-flip checkpoint (level-major tables); "
+                    "re-save it or transpose axes 1 and 2"
+                )
         e._params = params
         e._map_arrays = e._map_arrays.__class__(
             positions=jnp.asarray(data["map.positions"]),

@@ -57,6 +57,24 @@ def batched_evaluation(
     return jnp.concatenate(outs)[:n]
 
 
+def warn_dropped_pairs(drop_counts, logger, what: str, capacity: int) -> int:
+    """Sum per-chunk KNN-pair drop counts from the capacity fallback and warn
+    loudly if any were dropped (the capacity path silently renormalizes over
+    surviving pairs — bias up to 0.48 measured, VERDICT r2 Weak #5). Shared
+    by render_image and meshing so the bias warning stays consistent.
+
+    Returns the total dropped count."""
+    total = int(sum(int(d) for d in drop_counts))
+    if total:
+        logger.warning(
+            "%s capacity path DROPPED %d KNN pairs (capacity %d too small "
+            "under demand skew); outputs are biased where drops occurred. "
+            "Use the tiled path (TPU) or raise the capacity.",
+            what, total, capacity,
+        )
+    return total
+
+
 def save_image(img, file_path) -> None:
     """Save an (H, W, 3) [0, 1] array as a PNG (reference utils.py:208-217)."""
     import numpy as np

@@ -105,7 +105,10 @@ def _check_images(rgb, depth, depth_scale):
     check("#rgb == #depth", len(rgb) == len(depth), f"{len(rgb)} vs {len(depth)}")
     if not rgb or not depth:
         return
-    probe = [0, len(rgb) // 2, len(rgb) - 1]
+    # probe indices valid for BOTH lists even on a count mismatch (the
+    # mismatch was already reported above; keep checking instead of crashing)
+    n_min = min(len(rgb), len(depth))
+    probe = sorted({0, n_min // 2, n_min - 1})
     sizes_rgb = {PIL.Image.open(rgb[i]).size for i in probe}
     sizes_d = {PIL.Image.open(depth[i]).size for i in probe}
     check("rgb sizes consistent", len(sizes_rgb) == 1, str(sizes_rgb))
@@ -211,7 +214,7 @@ def main(argv=None) -> int:
     _check_images(rgb, depth, depth_scale)
     _check_poses(poses)
     if poses is not None and rgb:
-        check("#poses == #rgb", len(poses) >= len(rgb),
+        check("#poses == #rgb", len(poses) == len(rgb),
               f"{len(poses)} vs {len(rgb)}")
     _check_loader_roundtrip(layout, root, scene)
     print(f"\n{'ALL CHECKS PASSED' if not _FAILURES else f'{len(_FAILURES)} FAILURES: {_FAILURES}'}")
