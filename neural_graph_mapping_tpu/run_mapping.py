@@ -71,6 +71,12 @@ class NeuralGraphMapRunner:
         self._render_frame_freq = int(config.get("render_frame_freq", 200))
         self._extract_mesh_frame_freq = int(config.get("extract_mesh_frame_freq", 100))
         self._extract_mesh_frames = set(config.get("extract_mesh_frames", []) or [])
+        # per-field debug meshes after the full one (ref run_mapping.py:1107,1755)
+        self._extract_mesh_fields = list(config.get("extract_mesh_fields", []) or [])
+        # preview downscale (ref run_mapping.py:394-399, yaml default 0.3)
+        self._preview_res_factor = float(config.get("preview_res_factor", 0.3))
+        # point-chunk size for grid evaluation (ref run_mapping.py:138, :2260)
+        self._block_size = int(config.get("block_size", 262144))
         self._store_intermediate_meshes = bool(
             config.get("store_intermediate_meshes", False)
         )
@@ -182,7 +188,14 @@ class NeuralGraphMapRunner:
                     chunk_id += 1
 
         if self._extract_final_mesh or self._eval_mesh:
-            self.extract_mesh(self._out_dir / "eval_data" / self._mesh_name())
+            mesh_path = self._out_dir / "eval_data" / self._mesh_name()
+            self.extract_mesh(mesh_path)
+            for fid in self._extract_mesh_fields:
+                # per-field debug meshes (ref run_mapping.py:1107-1115)
+                self.extract_mesh(
+                    mesh_path.with_stem(f"{mesh_path.stem}_{fid}"),
+                    only_field=int(fid),
+                )
 
         self.evaluate_full()
         self.save_model()
@@ -253,7 +266,7 @@ class NeuralGraphMapRunner:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        preview_camera = self.dataset.camera.scaled_camera(0.25)
+        preview_camera = self.dataset.camera.scaled_camera(self._preview_res_factor)
         n = len(self._render_frames)
         fig, ax = plt.subplots(n, 2, squeeze=False)
         for i, frac in enumerate(self._render_frames):
@@ -426,12 +439,21 @@ class NeuralGraphMapRunner:
     # -- meshing -------------------------------------------------------------------
 
     @profiling.benchmark
-    def extract_mesh(self, path, resolution: Optional[float] = None, min_iterations: int = 50):
+    def extract_mesh(
+        self,
+        path,
+        resolution: Optional[float] = None,
+        min_iterations: int = 50,
+        only_field: Optional[int] = None,
+    ):
         e = self.engine
         ti = np.asarray(e._map_arrays.training_iterations)
         valid = (np.arange(e.capacity) < e.num_fields) & (ti >= min_iterations)
         if not valid.any():
             valid = np.arange(e.capacity) < e.num_fields
+        if only_field is not None:
+            # single-field debug mesh (ref run_mapping.py:1107-1115)
+            valid = valid & (np.arange(e.capacity) == only_field)
         return meshing.extract_mesh(
             e._fset,
             e._params,
@@ -444,6 +466,7 @@ class NeuralGraphMapRunner:
             color_factor=e._rcfg.color_factor,
             resolution=resolution or self._mesh_resolution,
             transform=self.gt_from_est,
+            eval_chunk=self._block_size,
             mesh_file_path=path,
         )
 

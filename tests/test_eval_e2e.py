@@ -116,6 +116,7 @@ def test_full_eval_protocol_end_to_end(
             "render_frame_freq": 4,
             "store_intermediate_meshes": True,
             "extract_mesh_frame_freq": 6,
+            "extract_mesh_fields": [0],
             "num_iterations_per_frame": 1,
             "out_dir": str(tmp_path / "runs"),
         }
@@ -150,6 +151,8 @@ def test_full_eval_protocol_end_to_end(
     assert list(eval_dir.glob("mesh_*.ply")), "intermediate mesh missing"
     finals = [p for p in eval_dir.glob("*final.ply")]
     assert finals, "final mesh missing"
+    # per-field debug mesh (extract_mesh_fields: [0], ref run_mapping.py:1107)
+    assert [p for p in eval_dir.glob("*final_0.ply")], "per-field mesh missing"
 
     # --- metrics json: online_*, final_*, mesh_*, fps keys all present
     metrics = yaml.safe_load((run_dir / "latest_run.yaml").read_text())["results"]
