@@ -88,6 +88,7 @@ class SLAMDataset(abc.ABC):
         "pose_source": "slam",  # "slam" | "gt"
         "pg_source": "slam",  # "slam" | "fixed_kf_freq"
         "fixed_kf_freq": 5,
+        "prefetch": False,  # cache decoded frames in memory (ref :60-61)
     }
 
     camera: camera_mod.Camera
@@ -148,6 +149,15 @@ class SLAMDataset(abc.ABC):
 
     def __getitem__(self, index: int) -> dict:
         if getattr(self, "_mode", "sequence") == "sequence":
+            if self.config.get("prefetch"):
+                # in-memory frame cache (reference nrgbd_dataset.py:60-61,
+                # :179): decode each frame once, serve from memory after
+                cache = getattr(self, "_prefetch_cache", None)
+                if cache is None:
+                    cache = self._prefetch_cache = {}
+                if index not in cache:
+                    cache[index] = self._get_sequence_item(index)
+                return cache[index]
             return self._get_sequence_item(index)
         rays_per_frame = self.camera.height * self.camera.width
         frame_id, pix = divmod(index, rays_per_frame)

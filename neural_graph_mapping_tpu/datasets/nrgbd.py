@@ -43,7 +43,8 @@ class NRGBDDataset(SLAMDataset):
 
     default_config = dict(
         SLAMDataset.default_config,
-        image_dir="images",
+        images_dir="images",
+        image_dir=None,  # legacy alias for images_dir
         depth_dir="depth_filtered",
         poses_file="poses.txt",
         fps=30,
@@ -61,7 +62,8 @@ class NRGBDDataset(SLAMDataset):
         self._depth_dir_name = c["depth_dir"]
         self.camera = Camera.create(**c["camera"])
 
-        self._image_dir = self.scene_dir_path / c["image_dir"]
+        images_dir = c.get("image_dir") or c["images_dir"]  # ref key: images_dir
+        self._image_dir = self.scene_dir_path / images_dir
         self._depth_dir = self.scene_dir_path / c["depth_dir"]
         self._image_files = sorted(os.listdir(self._image_dir), key=_last_int)[:: self._skip]
         self._depth_files = sorted(os.listdir(self._depth_dir), key=_last_int)[:: self._skip]

@@ -346,3 +346,22 @@ def test_pg_removed_keyframe_synced(nrgbd_root):
     graph3 = ds.get_slam_essential_graph(3)
     assert 0 not in graph3
     assert all(0 not in edges for edges in graph3.values())
+
+
+def test_prefetch_and_images_dir_alias(nrgbd_root):
+    """The reference's dataset keys: `images_dir` names the color dir
+    (nrgbd_dataset.yaml) and `prefetch: True` serves decoded frames from
+    memory (nrgbd_dataset.py:60-61, :179)."""
+    ds = NRGBDDataset(
+        dict(
+            root_dir=str(nrgbd_root),
+            scene="whiteroom",
+            images_dir="images",
+            prefetch=True,
+            camera=dict(width=W, height=H, fx=10.0, fy=10.0, cx=8.0, cy=6.0),
+            **_SLAM_CONFIG,
+        )
+    )
+    a = ds[1]
+    b = ds[1]
+    assert a["rgbd"] is b["rgbd"]  # second access is the cached object
