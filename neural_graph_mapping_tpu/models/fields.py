@@ -455,6 +455,8 @@ class NeuralFieldSet:
         interpret: bool = False,
         pack_outputs: bool = False,
         ray_ctx: Optional[dict] = None,
+        routing: Optional[tuple] = None,
+        partial_blend: bool = False,
     ) -> jnp.ndarray:
         """KNN-blended evaluation via tile-sorted MoE dispatch (render/mesh).
 
@@ -475,6 +477,14 @@ class NeuralFieldSet:
         the fix for round 1's 100x dominant-field blowup and silent
         capacity-drop bias (VERDICT "What's weak" #3).
 
+        ``routing`` (multi-chip partial evaluation): precomputed
+        ``(knn_dists (P, k) GLOBAL distances, knn_idx (P, k) LOCAL expert
+        ids, owned (P, k) bool, inside (P,) bool)`` replaces the internal
+        top-k — only owned pairs evaluate; with ``partial_blend`` the result
+        is this shard's weighted contribution (zeros elsewhere, no outside
+        fill), so a ``psum`` over the field mesh axis reconstructs the exact
+        blend (it is linear in the pairs). See parallel/sharding.py.
+
         Replaces the reference's per-unique-field Python loop
         (models.py:392-396) for inference.
         """
@@ -487,12 +497,21 @@ class NeuralFieldSet:
         tile = permuto_pallas.TILE_M if tile is None else tile
         enc = self.prototype.encoding
 
-        knn_dists, knn_idx = dispatch.topk_fields(
-            query_points, field_positions, field_valid, k
-        )  # (P, k)
-        inside = knn_dists[:, 0] < radius
-        pair_ids = knn_idx.reshape(-1)
-        pair_valid = jnp.repeat(inside, k) & jnp.isfinite(knn_dists.reshape(-1))
+        if routing is not None:
+            knn_dists, knn_idx, owned, inside = routing
+            pair_ids = knn_idx.reshape(-1)
+            pair_valid = (
+                owned.reshape(-1)
+                & jnp.repeat(inside, k)
+                & jnp.isfinite(knn_dists.reshape(-1))
+            )
+        else:
+            knn_dists, knn_idx = dispatch.topk_fields(
+                query_points, field_positions, field_valid, k
+            )  # (P, k)
+            inside = knn_dists[:, 0] < radius
+            pair_ids = knn_idx.reshape(-1)
+            pair_valid = jnp.repeat(inside, k) & jnp.isfinite(knn_dists.reshape(-1))
         m = p * k
 
         # sort-based dispatch: payloads ride the sort; the tile buffer fills
@@ -615,6 +634,10 @@ class NeuralFieldSet:
         blended = jnp.einsum(
             "cpk,pk->pc", pair_outs_fm.reshape(dim_out, p, k), weights
         )
+        if partial_blend:
+            # shard contribution only: zeros outside, no outside_value fill
+            # (the caller psums shards and fills outside once)
+            return jnp.where(inside[:, None], blended, 0.0)
         return jnp.where(inside[:, None], blended, self.outside_value)
 
     def apply_knn(

@@ -66,3 +66,84 @@ def pad_fields_to_mesh(tree, mesh: Mesh):
         )
 
     return jax.tree_util.tree_map(pad, tree)
+
+
+def render_points_sharded(
+    fset,
+    params,
+    field_positions: jnp.ndarray,  # (N, 3) replicated
+    field_orientations: jnp.ndarray,  # (N, 4) replicated
+    field_valid: jnp.ndarray,  # (N,) replicated
+    query_points: jnp.ndarray,  # (P, 3) replicated
+    mesh: Mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """KNN-blended field evaluation with the FIELD axis sharded over a mesh.
+
+    The multi-chip render design promised in the module docstring: the k-NN
+    routing runs replicated on the tiny (N, 3) center table, each device
+    evaluates only the (point, field) pairs whose field it owns via the same
+    tile-sorted MoE dispatch as single-chip rendering
+    (``NeuralFieldSet.apply_knn_tiled`` with ``routing``/``partial_blend``),
+    and one ``psum`` over the field axis reconstructs the exact softmax
+    blend — the blend is linear in the pairs, and pair weights come from the
+    replicated GLOBAL distances, so the result is bit-comparable to the
+    unsharded path. ICI traffic: one (P, dim_out) psum per block.
+
+    ``params``/``field_positions``/... must have their field axis padded to
+    a multiple of the mesh size (``pad_fields_to_mesh``); padded entries
+    must be marked invalid in ``field_valid``.
+
+    Returns (P, dim_out) blended outputs (outside points filled with
+    ``fset.outside_value``).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    from neural_graph_mapping_tpu.ops import dispatch
+
+    n = field_positions.shape[0]
+    assert n % mesh.devices.size == 0, "pad the field axis to the mesh size first"
+    n_local = n // mesh.devices.size
+    k = fset.num_knn
+
+    knn_dists, knn_idx = dispatch.topk_fields(
+        query_points, field_positions, field_valid, k
+    )  # (P, k) GLOBAL routing, replicated (centers are tiny)
+    inside = knn_dists[:, 0] < fset.field_radius
+
+    def shard_fn(local_params, local_pos, local_orient, local_valid):
+        shard = jax.lax.axis_index(FIELD_AXIS)
+        base = shard * n_local
+        local_idx = knn_idx - base
+        owned = (local_idx >= 0) & (local_idx < n_local)
+        part = fset.apply_knn_tiled(
+            local_params,
+            query_points,
+            local_pos,
+            local_orient,
+            local_valid,
+            interpret=interpret,
+            routing=(
+                knn_dists,
+                jnp.where(owned, local_idx, 0),
+                owned,
+                inside,
+            ),
+            partial_blend=True,
+        )
+        return jax.lax.psum(part, FIELD_AXIS)
+
+    specs = dict(
+        mesh=mesh,
+        in_specs=(P(FIELD_AXIS), P(FIELD_AXIS), P(FIELD_AXIS), P(FIELD_AXIS)),
+        out_specs=P(),
+    )
+    try:  # replication checking flag was renamed across jax versions
+        mapped = shard_map(shard_fn, **specs, check_vma=False)
+    except TypeError:
+        mapped = shard_map(shard_fn, **specs, check_rep=False)
+    out = mapped(params, field_positions, field_orientations, field_valid)
+    return jnp.where(inside[:, None], out, fset.outside_value)

@@ -236,3 +236,32 @@ def test_sharded_frame_step_hlo_has_no_big_allgather():
         f"all-gather of full per-field state found (> {threshold} elements):\n"
         + "\n".join(offenders)
     )
+
+
+def test_render_points_sharded_matches_unsharded():
+    """Field-sharded KNN rendering (render_points_sharded): global routing +
+    per-shard tiled evaluation + one psum must reproduce the single-device
+    tiled blend on an 8-device mesh."""
+    _require_devices()
+    fset = _make_fieldset()
+    n = 16  # multiple of the mesh size
+    params = fset.init_fields(jax.random.PRNGKey(0), n)
+    positions = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 2.0
+    orientations = jax.random.normal(jax.random.PRNGKey(2), (n, 4))
+    orientations = orientations / jnp.linalg.norm(
+        orientations, axis=-1, keepdims=True
+    )
+    valid = jnp.arange(n) < 13  # padded/invalid tail entries
+    pts = jax.random.normal(jax.random.PRNGKey(3), (300, 3)) * 2.5
+
+    want = fset.apply_knn_tiled(
+        params, pts, positions, orientations, valid, interpret=True
+    )
+    mesh = shd.make_field_mesh(N_DEV)
+    got = shd.render_points_sharded(
+        fset, params, positions, orientations, valid, pts, mesh,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
+    )
