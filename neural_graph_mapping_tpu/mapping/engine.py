@@ -20,6 +20,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import os
 import time
 from typing import Dict, Optional, Set
 
@@ -1079,7 +1080,14 @@ class NeuralGraphMap:
         # regenerate each sample's pixel from (block offset + ray index)
         # instead of carrying coordinates through the dispatch sort
         ks = self._fset.num_knn * self._eval_span_samples
-        use_ray_kernel = tiled and (ks & (ks - 1)) == 0
+        # NGM_RAY_KERNEL=0 is the kill switch back to carried coordinates
+        # (the in-kernel ray path is interpret-verified bit-exact but was
+        # committed during a TPU tunnel outage — see STATUS r3)
+        use_ray_kernel = (
+            tiled
+            and (ks & (ks - 1)) == 0
+            and os.environ.get("NGM_RAY_KERNEL", "1") != "0"
+        )
 
         def model(ijs, offset=0):
             if tiled:
