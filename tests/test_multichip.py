@@ -265,3 +265,45 @@ def test_render_points_sharded_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4
     )
+
+
+def test_render_points_sharded_hlo_no_param_allgather():
+    """The sharded render's only cross-device traffic should be the
+    (P, dim_out) psum of blend contributions — the per-field hash tables
+    must never be all-gathered."""
+    import re
+
+    _require_devices()
+    fset = _make_fieldset()
+    n = 16
+    params = fset.init_fields(jax.random.PRNGKey(0), n)
+    positions = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) * 2.0
+    orientations = jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (n, 1))
+    valid = jnp.ones((n,), bool)
+    pts = jax.random.normal(jax.random.PRNGKey(3), (256, 3)) * 2.5
+    mesh = shd.make_field_mesh(N_DEV)
+
+    lowered = jax.jit(
+        lambda p, pos, orient, v, q: shd.render_points_sharded(
+            fset, p, pos, orient, v, q, mesh, interpret=True
+        )
+    ).lower(params, positions, orientations, valid, pts)
+    hlo = lowered.compile().as_text()
+
+    # threshold: anything bigger than a few point-blocks is per-field state
+    threshold = 16 * pts.shape[0] * 4
+    offenders = []
+    for line in hlo.splitlines():
+        if "all-gather" not in line:
+            continue
+        m = re.search(r"=\s*\(?[a-z0-9]+\[([0-9,]*)\]", line)
+        if not m:
+            continue
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        elems = int(np.prod(dims)) if dims else 1
+        if elems > threshold:
+            offenders.append(line.strip()[:160])
+    assert not offenders, (
+        "all-gather of per-field state in the sharded render:\n"
+        + "\n".join(offenders)
+    )
