@@ -449,11 +449,21 @@ class NeuralGraphMapRunner:
         e = self.engine
         ti = np.asarray(e._map_arrays.training_iterations)
         valid = (np.arange(e.capacity) < e.num_fields) & (ti >= min_iterations)
-        if not valid.any():
-            valid = np.arange(e.capacity) < e.num_fields
         if only_field is not None:
-            # single-field debug mesh (ref run_mapping.py:1107-1115)
-            valid = valid & (np.arange(e.capacity) == only_field)
+            # single-field debug mesh (ref run_mapping.py:1107-1115): select
+            # the field FIRST so the min_iterations fallback applies to it,
+            # not to the rest of the map
+            valid = (np.arange(e.capacity) < e.num_fields) & (
+                np.arange(e.capacity) == only_field
+            )
+            if not valid.any():
+                logger.warning(
+                    "extract_mesh(only_field=%s): no such allocated field "
+                    "(num_fields=%d); skipping", only_field, e.num_fields,
+                )
+                return None
+        elif not valid.any():
+            valid = np.arange(e.capacity) < e.num_fields
         return meshing.extract_mesh(
             e._fset,
             e._params,

@@ -365,3 +365,16 @@ def test_prefetch_and_images_dir_alias(nrgbd_root):
     a = ds[1]
     b = ds[1]
     assert a["rgbd"] is b["rgbd"]  # second access is the cached object
+
+    # legacy alias: image_dir takes precedence when both keys are present
+    ds2 = NRGBDDataset(
+        dict(
+            root_dir=str(nrgbd_root),
+            scene="whiteroom",
+            image_dir="images",
+            images_dir="nonexistent_dir",
+            camera=dict(width=W, height=H, fx=10.0, fy=10.0, cx=8.0, cy=6.0),
+            **_SLAM_CONFIG,
+        )
+    )
+    assert ds2[1]["rgbd"].shape == (H, W, 4)
