@@ -109,3 +109,36 @@ def test_plain_checkpoint_still_loads(tmp_path):
     runner2.load_model(path)
     assert runner2.engine.num_fields == e.num_fields
     assert runner2.engine._graph == {}  # bookkeeping not included
+
+
+def test_pre_layout_flip_checkpoint_rejected(tmp_path):
+    """A checkpoint whose enc.table is level-major (pre-c22e28f layout) has
+    the same element count as the feature-major layout, so every consumer's
+    reshape would silently interleave levels into features; load_model must
+    refuse it loudly."""
+    import numpy as np
+
+    cfg = _runner_config(tmp_path)
+    runner = NeuralGraphMapRunner(cfg)
+    ds = SyntheticDataset(cfg["dataset_config"])
+    ds.load_slam_results()
+    runner.dataset = ds
+    e = runner.engine
+    e._camera = ds.camera
+    e._init_cache(ds.camera.height, ds.camera.width)
+    for fid in range(3):
+        e.process_frame(ds, fid, jnp.asarray(ds[fid]["rgbd"]))
+    path = runner.save_model(tmp_path / "ok.npz", full=False)
+
+    data = dict(np.load(path))
+    t = data["params.enc.table"]  # (N, F, L, T)
+    assert t.shape[1] != t.shape[2], "fixture ambiguous: F == L"
+    data["params.enc.table"] = np.swapaxes(t, 1, 2)  # fake old layout
+    bad = tmp_path / "old_layout.npz"
+    np.savez(bad, **data)
+
+    runner2 = NeuralGraphMapRunner(_runner_config(tmp_path / "c"))
+    import pytest
+
+    with pytest.raises(ValueError, match="layout-flip"):
+        runner2.load_model(bad)
