@@ -34,6 +34,14 @@ def run_dataset_visualization(config: dict, max_frames: int = 0, frame_stride: i
         positions = np.asarray(dataset.slam_final_c2ws)[:, :3, 3]
         ok = np.isfinite(positions).all(axis=1)
         rr.log("trajectories/slam_final", rr.LineStrips3D([positions[ok]]), timeless=True)
+    if has_slam and getattr(dataset, "slam_online_c2ws", None) is not None:
+        # the per-frame ONLINE estimates (reference vis_dataset.py logs
+        # gt/slam_online/slam_final side by side)
+        positions = np.asarray(dataset.slam_online_c2ws)[:, :3, 3]
+        ok = np.isfinite(positions).all(axis=1)
+        rr.log(
+            "trajectories/slam_online", rr.LineStrips3D([positions[ok]]), timeless=True
+        )
 
     bounds = dataset.scene_bounds
     if bounds is not None:
