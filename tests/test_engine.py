@@ -285,3 +285,29 @@ class TestRayKernelRenderPath:
             block_offset=jnp.asarray(offset + 16, jnp.int32),
         )
         assert np.abs(np.asarray(a[0]) - np.asarray(c[0])).max() > 0
+
+
+class TestRenderBlockAutoShrink:
+    def test_large_span_shrinks_ray_block(self, monkeypatch):
+        """Span sample counts above 512 must shrink the render ray block
+        proportionally (constant per-block sample footprint — span 1024 at
+        the full 8192-ray block exceeded HBM, measured r3)."""
+        from neural_graph_mapping_tpu.utils import chunking as ch
+
+        ds = make_dataset(6)
+        ngm = NeuralGraphMap(tiny_config(pixel_block_size=512))
+        for fid in range(len(ds)):
+            ngm.process_frame(ds, fid, jnp.asarray(ds[fid]["rgbd"]))
+        ngm._eval_span_samples = 2048  # 4x the 512 reference footprint
+
+        seen = {}
+        orig = ch.batched_evaluation
+
+        def spy(model, inputs, block_size, **kw):
+            seen["block"] = block_size
+            return orig(model, inputs, block_size, **kw)
+
+        monkeypatch.setattr(ch, "batched_evaluation", spy)
+        cam = ds.camera.scaled_camera(0.5)
+        ngm.render_image(jnp.asarray(ds[0]["c2w"]), cam)
+        assert seen["block"] == max(1024, 512 * 512 // 2048)
