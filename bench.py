@@ -82,7 +82,27 @@ def build_engine():
     return ds, ngm
 
 
+def tpu_available():
+    """Probe backend init without crashing (a dead tunnel must not read as a
+    code regression in BENCH_r*.json — VERDICT r3 item 10)."""
+    try:
+        devs = jax.devices()
+        return len(devs) > 0
+    except Exception:
+        return False
+
+
 def main():
+    if not tpu_available():
+        print(json.dumps({
+            "metric": "mapping_rays_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": "tpu_unavailable: backend failed to initialize (infra, not code)",
+        }))
+        return
+
     from neural_graph_mapping_tpu.mapping.engine import optimization_iterations_scan
 
     ds, ngm = build_engine()

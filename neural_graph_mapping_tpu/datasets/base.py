@@ -114,6 +114,7 @@ class SLAMDataset(abc.ABC):
         self._slam_c2w_dict: Optional[Dict[int, Dict[int, np.ndarray]]] = None
         self._slam_pg_dict: Optional[Dict[int, Dict[int, Set[int]]]] = None
         self.slam_online_c2ws: Optional[np.ndarray] = None
+        self._slam_poses_dirty_flags: Optional[np.ndarray] = None
 
     # -- abstract surface (per-dataset loaders implement) ----------------------
 
@@ -237,6 +238,47 @@ class SLAMDataset(abc.ABC):
         if at_frame_id is None:
             at_frame_id = frame_id
         return frame_id in self._slam_pg_dict[at_frame_id]
+
+    def slam_poses_dirty(self, frame_id: int) -> bool:
+        """Whether any keyframe pose at ``frame_id`` may differ from its pose
+        at ``frame_id - 1``.
+
+        Engine fast path (engine._update_graph): when this returns False the
+        per-frame O(keyframes) pose snapshot + loop-closure delta check can be
+        skipped entirely. GT poses are static by definition; SLAM mode
+        precomputes one boolean per frame from the parsed c2w history (the
+        reference re-reads every keyframe pose every frame —
+        run_mapping.py:937-952 — which is exactly the host cost we avoid).
+        """
+        if self._pose_source == "gt":
+            return False
+        if self._slam_c2w_dict is None:
+            return True
+        if self._slam_poses_dirty_flags is None:
+            self._compute_slam_poses_dirty()
+        if 0 <= frame_id < len(self._slam_poses_dirty_flags):
+            return bool(self._slam_poses_dirty_flags[frame_id])
+        return True
+
+    def _compute_slam_poses_dirty(self) -> None:
+        """One pass over the c2w history marking frames where any keyframe
+        pose changed vs the previous frame (the frames' own "cur" entries are
+        excluded — slot 0 is handled separately by the engine)."""
+        n = self.num_images
+        flags = np.ones((n,), bool)
+        prev: Optional[Dict[int, np.ndarray]] = None
+        for i in range(n):
+            cur = self._slam_c2w_dict.get(i, {})
+            if prev is not None:
+                ids = (set(cur.keys()) | set(prev.keys())) - {i, i - 1}
+                flags[i] = any(
+                    fid not in cur
+                    or fid not in prev
+                    or not np.array_equal(cur[fid], prev[fid], equal_nan=True)
+                    for fid in ids
+                )
+            prev = cur
+        self._slam_poses_dirty_flags = flags
 
     def _create_fixed_kf_freq_pg_dict(self) -> None:
         """Fully-connected fixed-frequency pose graph from frame indices

@@ -608,6 +608,8 @@ class NeuralGraphMapRunner:
                 e._prev_kf2w_slots = data["resume.prev_kf2w_slots"]
             e._cache_c2w_np = data["resume.cache_c2w"]
             e._cache_valid_np = data["resume.cache_valid"]
+            e._cache_c2w_dirty = True  # force re-upload of the device mirrors
+            e._cache_valid_dirty = True
             e._bb_min = data["resume.bb_min"]
             e._bb_max = data["resume.bb_max"]
             if "resume.cache_rgb" in data:
