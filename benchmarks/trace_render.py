@@ -1,5 +1,5 @@
 """Capture a jax.profiler trace of the tiled full-image render block and print
-the top self-time ops (parsed with tensorboard_plugin_profile, no UI needed).
+the top self-time ops (parsed from the perfetto trace JSON — see _traceutil).
 
 The render path (engine.render_block_tiled_jit -> fields.apply_knn_tiled) is
 the protocol-speed bottleneck for evaluate_full (ref run_mapping.py:403-437);
@@ -7,7 +7,6 @@ this names the ops inside the ~200 ms 8192-ray block so perf work targets the
 right decomposition stage.
 """
 
-import glob
 import sys
 import time
 import pathlib
@@ -85,27 +84,9 @@ def main():
             out = one_block(sub)
         jax.block_until_ready(out[0])
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from _traceutil import print_top_ops
 
-    xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
-    import json
-
-    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
-
-    def walk(node, depth=0, out=None):
-        out = [] if out is None else out
-        m = node.get("metrics", {})
-        out.append((m.get("time", 0.0), node.get("name", "?"), depth))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, out)
-        return out
-
-    root = prof.get("byProgram") or prof.get("byCategory") or {}
-    rows = walk(root)
-    rows.sort(reverse=True)
-    for t, name, depth in rows[:60]:
-        print(f"{t:10.6f}  {'  ' * depth}{name[:110]}")
+    print_top_ops(trace_dir, n_iters=3)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,6 @@
 """Capture a jax.profiler trace of the full training iteration and print the
-top self-time ops (parsed with tensorboard_plugin_profile, no UI needed)."""
+top self-time ops (parsed from the perfetto trace JSON — see _traceutil)."""
 
-import glob
 import sys
 import pathlib
 
@@ -48,29 +47,9 @@ def main():
             params, adam, ti, _ = one_frame(params, adam, ti, sub)
         jax.block_until_ready(params["w0"])
 
-    # parse the xplane proto into op stats
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    from _traceutil import print_top_ops
 
-    xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-    print("xplane files:", xplanes)
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "op_profile", {})
-    import json
-
-    prof = json.loads(data) if isinstance(data, (str, bytes)) else data
-
-    def walk(node, depth=0, out=None):
-        out = [] if out is None else out
-        m = node.get("metrics", {})
-        out.append((m.get("time", 0.0), node.get("name", "?"), depth))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, out)
-        return out
-
-    root = prof.get("byProgram") or prof.get("byCategory") or {}
-    rows = walk(root)
-    rows.sort(reverse=True)
-    for t, name, depth in rows[:60]:
-        print(f"{t:10.6f}  {'  ' * depth}{name[:110]}")
+    print_top_ops(trace_dir, n_iters=3)
 
 
 if __name__ == "__main__":
