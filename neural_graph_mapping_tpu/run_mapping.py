@@ -29,6 +29,7 @@ from neural_graph_mapping_tpu.eval import render_metrics
 from neural_graph_mapping_tpu.mapping import meshing
 from neural_graph_mapping_tpu.mapping.engine import NeuralGraphMap
 from neural_graph_mapping_tpu.utils import chunking, observability, profiling
+from neural_graph_mapping_tpu.utils.prefetch import FramePrefetcher
 
 logger = logging.getLogger(__name__)
 
@@ -81,6 +82,9 @@ class NeuralGraphMapRunner:
             config.get("store_intermediate_meshes", False)
         )
         self._eval_store_details = bool(config.get("eval_store_details", True))
+        # frames decoded ahead by the host prefetch thread; 0 = synchronous
+        # (reference DataLoader(num_workers=32), run_mapping.py:1006)
+        self._prefetch_depth = int(config.get("host_prefetch_depth", 2))
         self._rerun_vis = bool(config.get("rerun_vis", False))
         self._rerun_save = config.get("rerun_save", None)
         self._rerun_connect_addr = config.get("rerun_connect_addr", None)
@@ -171,21 +175,34 @@ class NeuralGraphMapRunner:
         if self._model_path:
             self.load_model(self._model_path)
 
+        # decode frame t+1 on a worker thread while the device trains frame t
+        # (reference DataLoader(num_workers=32, pin_memory), run_mapping.py:1006)
+        prefetcher = None
+        if self._prefetch_depth > 0:
+            train_seq = [f for f in range(len(dataset)) if f in self.train_frame_ids]
+            prefetcher = FramePrefetcher(dataset, train_seq, self._prefetch_depth)
+
         chunk_id = 0
-        for frame_id in range(len(dataset)):
-            if frame_id in self.train_frame_ids:
-                item = dataset[frame_id]
-                losses = self.engine.process_frame(
-                    dataset, frame_id, jnp.asarray(item["rgbd"])
-                )
-                self._iteration += self.engine._num_iterations_per_frame
-                self._log(frame_id, losses, item)
-            # chunk-boundary online eval (run_mapping.py:1253-1257)
-            if chunk_id < len(self.chunks):
-                chunk = self.chunks[chunk_id]
-                if chunk["at_frame_id"] == frame_id:
-                    self.evaluate_chunk(chunk)
-                    chunk_id += 1
+        try:
+            for frame_id in range(len(dataset)):
+                if frame_id in self.train_frame_ids:
+                    item = (
+                        prefetcher.get(frame_id) if prefetcher else dataset[frame_id]
+                    )
+                    losses = self.engine.process_frame(
+                        dataset, frame_id, jnp.asarray(item["rgbd"])
+                    )
+                    self._iteration += self.engine._num_iterations_per_frame
+                    self._log(frame_id, losses, item)
+                # chunk-boundary online eval (run_mapping.py:1253-1257)
+                if chunk_id < len(self.chunks):
+                    chunk = self.chunks[chunk_id]
+                    if chunk["at_frame_id"] == frame_id:
+                        self.evaluate_chunk(chunk)
+                        chunk_id += 1
+        finally:
+            if prefetcher is not None:
+                prefetcher.close()
 
         if self._extract_final_mesh or self._eval_mesh:
             mesh_path = self._out_dir / "eval_data" / self._mesh_name()

@@ -123,3 +123,49 @@ class TestFieldEditing:
 
         with pytest.raises(ValueError):
             edit_fields(self._map(), [{"field_id": 7, "position": [0, 0, 0]}], 4)
+
+
+class TestFramePrefetcher:
+    class _DS:
+        """Counts decodes; item is just the frame id."""
+
+        def __init__(self):
+            self.decodes = []
+
+        def __getitem__(self, fid):
+            self.decodes.append(fid)
+            return {"fid": fid}
+
+    def test_in_order_delivery(self):
+        from neural_graph_mapping_tpu.utils.prefetch import FramePrefetcher
+
+        ds = self._DS()
+        ids = [0, 2, 3, 7]
+        pf = FramePrefetcher(ds, ids, depth=2)
+        for fid in ids:
+            assert pf.get(fid)["fid"] == fid
+        pf.close()
+        assert ds.decodes == ids
+
+    def test_mismatch_falls_back_to_sync(self):
+        from neural_graph_mapping_tpu.utils.prefetch import FramePrefetcher
+
+        ds = self._DS()
+        pf = FramePrefetcher(ds, [0, 1], depth=2)
+        # out-of-schedule id served synchronously, queue stays consistent
+        assert pf.get(5)["fid"] == 5
+        assert pf.get(0)["fid"] == 0
+        assert pf.get(1)["fid"] == 1
+        pf.close()
+
+    def test_worker_exception_reraised(self):
+        from neural_graph_mapping_tpu.utils.prefetch import FramePrefetcher
+
+        class Boom:
+            def __getitem__(self, fid):
+                raise ValueError("decode failed")
+
+        pf = FramePrefetcher(Boom(), [0], depth=1)
+        with pytest.raises(ValueError, match="decode failed"):
+            pf.get(0)
+        pf.close()
