@@ -7,10 +7,19 @@ goes one step further and also synthesizes the imagery, so the full online
 pipeline (allocation, multi-view sampling, optimization, rendering, meshing,
 loop-closure re-anchoring) is testable and benchmarkable hermetically.
 
-Scene: a few colored spheres inside a box room; camera orbits the center
-looking inward. Depth and color are computed by exact ray casting. Optionally
-simulates pose drift + a loop-closure correction at a chosen frame to exercise
-the re-anchoring path.
+Two scene archetypes selected by the ``scene`` config key:
+
+- ``"spheres"`` (default, alias ``"synthetic"``): a few colored spheres
+  inside a box room — smooth blobs, the benign case.
+- ``"thin"``: thin structures + a concave corner — a floating 4 cm tabletop,
+  two 4 cm-radius floor-to-ceiling poles, an L-shaped interior wall pair
+  meeting at a right angle, and one small sphere. These are the NRGBD scene
+  archetypes (thin chair legs / table edges / room corners) that stress the
+  silhouette-halo failure mode of the occupancy-bell formulation and mesh
+  metrics; the spheres scene alone cannot falsify halo conclusions.
+
+The camera orbits the center looking inward; depth and color are computed by
+exact ray casting (spheres, finite AABBs, finite cylinders, inward walls).
 """
 
 from __future__ import annotations
@@ -67,15 +76,45 @@ class SyntheticDataset(SLAMDataset):
             cx=w / 2.0, cy=h / 2.0,
         )
         self._room_half = float(c["room_half"])
-        rng = np.random.RandomState(int(c["seed"]))
-        # spheres: centers, radii, base colors
-        self._sphere_c = np.array(
-            [[0.0, 0.0, 0.0], [1.2, 0.4, -0.6], [-1.0, -0.3, 0.8]], np.float32
-        )
-        self._sphere_r = np.array([0.6, 0.45, 0.5], np.float32)
-        self._sphere_col = np.array(
-            [[0.9, 0.2, 0.2], [0.2, 0.9, 0.3], [0.25, 0.35, 0.95]], np.float32
-        )
+        archetype = c.get("scene") or "spheres"
+        if archetype in ("", "synthetic", "spheres"):
+            # spheres: centers, radii, base colors
+            self._sphere_c = np.array(
+                [[0.0, 0.0, 0.0], [1.2, 0.4, -0.6], [-1.0, -0.3, 0.8]], np.float32
+            )
+            self._sphere_r = np.array([0.6, 0.45, 0.5], np.float32)
+            self._sphere_col = np.array(
+                [[0.9, 0.2, 0.2], [0.2, 0.9, 0.3], [0.25, 0.35, 0.95]], np.float32
+            )
+            self._boxes = []
+            self._cyls = []
+        elif archetype == "thin":
+            self._sphere_c = np.array([[0.1, 0.5, -0.4]], np.float32)
+            self._sphere_r = np.array([0.25], np.float32)
+            self._sphere_col = np.array([[0.9, 0.2, 0.2]], np.float32)
+            # finite AABBs: (bmin, bmax, color)
+            self._boxes = [
+                # floating 4 cm tabletop: large silhouette depth gap to the wall
+                (np.array([0.3, -0.02, 0.2], np.float32),
+                 np.array([1.3, 0.02, 1.0], np.float32),
+                 np.array([0.85, 0.65, 0.25], np.float32)),
+                # L-shaped interior wall pair meeting at a concave right angle
+                (np.array([-1.2, -1.2, -1.2], np.float32),
+                 np.array([-1.15, 1.2, 0.6], np.float32),
+                 np.array([0.3, 0.75, 0.35], np.float32)),
+                (np.array([-1.2, -1.2, -1.2], np.float32),
+                 np.array([0.6, 1.2, -1.15], np.float32),
+                 np.array([0.35, 0.45, 0.85], np.float32)),
+            ]
+            # thin floor-to-ceiling poles: (center_xz, radius, color)
+            self._cyls = [
+                (np.array([0.8, -0.5], np.float32), 0.04,
+                 np.array([0.9, 0.55, 0.8], np.float32)),
+                (np.array([-0.3, 1.0], np.float32), 0.04,
+                 np.array([0.5, 0.85, 0.9], np.float32)),
+            ]
+        else:
+            raise ValueError(f"unknown synthetic scene archetype {archetype!r}")
 
         # orbit trajectory
         radius = float(c["orbit_radius"])
@@ -100,7 +139,7 @@ class SyntheticDataset(SLAMDataset):
 
     @staticmethod
     def get_available_scenes(root_dir: str) -> List[str]:
-        return ["synthetic"]
+        return ["synthetic", "thin"]
 
     @property
     def num_images(self) -> int:
@@ -136,6 +175,43 @@ class SyntheticDataset(SLAMDataset):
             ok = hit & (t > 0.05) & (t < t_best)
             normal = (origin + dirs_w * t[:, None] - ctr) / r
             shade = 0.6 + 0.4 * np.clip(normal[:, 1], -1, 1)
+            color[ok] = col[None] * shade[ok, None]
+            t_best[ok] = t[ok]
+
+        # finite AABBs (slab method; outward-facing, camera outside)
+        for bmin, bmax, col in self._boxes:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / dirs_w
+                t1 = (bmin[None] - origin[None]) * inv
+                t2 = (bmax[None] - origin[None]) * inv
+            lo = np.minimum(t1, t2)
+            hi = np.maximum(t1, t2)
+            tnear = lo.max(-1)
+            tfar = hi.min(-1)
+            ok = (tnear <= tfar) & (tnear > 0.05) & (tnear < t_best)
+            # entry face axis -> flat per-face shading
+            face_axis = lo.argmax(-1)
+            shade = np.choose(face_axis, [0.85, 1.0, 0.7])
+            color[ok] = col[None] * shade[ok, None]
+            t_best[ok] = tnear[ok]
+
+        # finite vertical cylinders (floor-to-ceiling, no visible caps)
+        for ctr_xz, r, col in self._cyls:
+            dx, dz = dirs_w[:, 0], dirs_w[:, 2]
+            ox, oz = origin[0] - ctr_xz[0], origin[2] - ctr_xz[1]
+            a = dx * dx + dz * dz
+            b = dx * ox + dz * oz
+            cq = ox * ox + oz * oz - r * r
+            disc = b * b - a * cq
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (-b - np.sqrt(np.maximum(disc, 0.0))) / a
+            y = origin[1] + dirs_w[:, 1] * t
+            ok = (
+                (disc > 0) & (t > 0.05) & (t < t_best)
+                & (np.abs(y) <= self._room_half)
+            )
+            nx = (origin[0] + dx * t - ctr_xz[0]) / r
+            shade = 0.7 + 0.3 * np.clip(nx, -1, 1)
             color[ok] = col[None] * shade[ok, None]
             t_best[ok] = t[ok]
 

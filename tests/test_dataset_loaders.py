@@ -378,3 +378,80 @@ def test_prefetch_and_images_dir_alias(nrgbd_root):
         )
     )
     assert ds2[1]["rgbd"].shape == (H, W, 4)
+
+
+class TestSyntheticThinScene:
+    """Golden-geometry checks for the 'thin' archetype (thin structures +
+    concave corner — the NRGBD-style halo/mesh stress cases)."""
+
+    def _ds(self):
+        from neural_graph_mapping_tpu.datasets.synthetic import SyntheticDataset
+
+        return SyntheticDataset(
+            {"scene": "thin", "num_frames": 8, "width": 80, "height": 60,
+             "fx": 70.0, "fy": 70.0}
+        )
+
+    def _look_at(self, eye, center):
+        from neural_graph_mapping_tpu.datasets.synthetic import _look_at
+
+        return _look_at(
+            np.asarray(eye, np.float32), np.asarray(center, np.float32),
+            np.array([0.0, 1.0, 0.0], np.float32),
+        )
+
+    def test_tabletop_depth_and_silhouette_gap(self):
+        ds = self._ds()
+        # oblique down onto the table center from above: top face at y=0.02
+        eye = np.array([0.8, 1.5, 0.9])
+        look = np.array([0.8, 0.0, 0.6])
+        c2w = self._look_at(eye, look)
+        rgbd = ds._raycast(c2w)
+        fwd = (look - eye) / np.linalg.norm(look - eye)
+        # z-depth of the y=0.02 plane along the (near-axial) center ray
+        expected = (eye[1] - 0.02) / (-fwd[1])
+        np.testing.assert_allclose(rgbd[30, 40, 3], expected, atol=0.02)
+
+        # from the side at table height: the 4 cm slab edge is thin (few
+        # pixels) and its silhouette jumps >1.5 m to the background
+        c2w = self._look_at([0.8, 0.0, 2.4], [0.8, 0.0, 0.6])
+        depth_col = ds._raycast(c2w)[:, 40, 3]
+        near = depth_col < 1.6
+        assert 0 < near.sum() <= 6  # thin: a handful of rows only
+        gap = depth_col[~near].min() - depth_col[near].max()
+        assert gap > 1.2
+
+    def test_concave_corner_depths(self):
+        ds = self._ds()
+        # looking diagonally into the interior corner at (-1.2, *, -1.2):
+        # the center ray must hit a wall panel (less than the distance to the
+        # room wall behind it), not pass through the L
+        eye = np.array([0.5, 0.0, 0.5])
+        c2w = self._look_at(eye, [-1.175, 0.0, -1.175])
+        rgbd = ds._raycast(c2w)
+        d = rgbd[30, 40, 3]
+        corner_dist = np.linalg.norm(eye[[0, 2]] - np.array([-1.15, -1.15]))
+        assert 0.5 < d <= corner_dist + 0.05
+
+    def test_pole_depth_and_thinness(self):
+        ds = self._ds()
+        # looking at the first pole (x=0.8, z=-0.5, r=0.04) from 1.5 m away
+        eye = np.array([0.8, 0.0, 1.0])
+        c2w = self._look_at(eye, [0.8, 0.0, -0.5])
+        rgbd = ds._raycast(c2w)
+        d_center = rgbd[30, 40, 3]
+        np.testing.assert_allclose(d_center, 1.5 - 0.04, atol=5e-3)
+        # the pole is a thin vertical stripe: row 30's near pixels span a
+        # few columns; background behind it is the room wall meters away
+        row = rgbd[30, :, 3]
+        near = row < 1.6
+        assert 0 < near.sum() <= 5
+
+    def test_spheres_archetype_unchanged_by_default(self):
+        from neural_graph_mapping_tpu.datasets.synthetic import SyntheticDataset
+
+        a = SyntheticDataset({"num_frames": 4, "width": 40, "height": 30,
+                              "fx": 35.0, "fy": 35.0})
+        b = SyntheticDataset({"scene": "spheres", "num_frames": 4, "width": 40,
+                              "height": 30, "fx": 35.0, "fy": 35.0})
+        np.testing.assert_array_equal(a[0]["rgbd"], b[0]["rgbd"])
