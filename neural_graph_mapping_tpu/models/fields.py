@@ -29,6 +29,7 @@ Params = Dict[str, jnp.ndarray]
 # Opt-in for the fused encode+MLP kernel pair (see apply_fm_soa docstring:
 # measured SLOWER than encode-kernel + XLA-MLP on v5e, r3)
 _FUSED_MLP = os.environ.get("NGM_FUSED_MLP", "") == "1"
+_TOPK_KERNEL = os.environ.get("NGM_TOPK_KERNEL", "1") != "0"
 
 
 def _linear_init(key: jax.Array, dim_in: int, dim_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -497,6 +498,7 @@ class NeuralFieldSet:
         tile = permuto_pallas.TILE_M if tile is None else tile
         enc = self.prototype.encoding
 
+        fm_pairs = False
         if routing is not None:
             knn_dists, knn_idx, owned, inside = routing
             pair_ids = knn_idx.reshape(-1)
@@ -505,6 +507,26 @@ class NeuralFieldSet:
                 & jnp.repeat(inside, k)
                 & jnp.isfinite(knn_dists.reshape(-1))
             )
+        elif k == 2 and _TOPK_KERNEL and query_points.shape[-1] == 3:
+            # fused Pallas top-2: streams point tiles through VMEM instead of
+            # materializing the (P, N) distance matrix in HBM (~28 ms of the
+            # 151 ms render block traced r4; NGM_TOPK_KERNEL=0 kills).
+            # Everything downstream stays FEATURE-MAJOR (k-major pair order):
+            # pair i of neighbor rank kk sits at kk * P + i, so the back sort
+            # returns each rank's outputs as one contiguous half and the
+            # blend is elementwise on (P,) slices — no (P, k) interleaves,
+            # no cpk,pk->pc einsum relayouts (they were ~30 ms of the block).
+            from neural_graph_mapping_tpu.ops import topk_pallas
+
+            d_fm, i_fm = topk_pallas.topk2_fields(
+                query_points.T, field_positions, field_valid, interpret=interpret
+            )  # (2, P)
+            inside = d_fm[0] < radius
+            valid_fm = jnp.isfinite(d_fm) & inside[None, :]
+            pair_ids = i_fm.reshape(-1)  # k-major
+            pair_valid = valid_fm.reshape(-1)
+            knn_dists = None
+            fm_pairs = True
         else:
             knn_dists, knn_idx = dispatch.topk_fields(
                 query_points, field_positions, field_valid, k
@@ -525,7 +547,17 @@ class NeuralFieldSet:
         # per-expert pose) — 2 fewer 8.4M-lane arrays through the sort, the
         # pair-coordinate repeats and the tile coordinate slices disappear.
         if ray_ctx is not None:
-            pair_payloads = (jnp.repeat(ray_ctx["dist"], k),)
+            pair_payloads = (
+                jnp.tile(ray_ctx["dist"], k)
+                if fm_pairs
+                else jnp.repeat(ray_ctx["dist"], k),
+            )
+        elif fm_pairs:
+            # k-major: each neighbor rank is a contiguous copy of the point
+            # coordinates (tile, not the lane-interleaving repeat)
+            pair_payloads = tuple(
+                jnp.tile(query_points[:, i], k) for i in range(3)
+            )
         else:
             pair_payloads = tuple(
                 jnp.repeat(query_points[:, i], k) for i in range(3)
@@ -557,8 +589,15 @@ class NeuralFieldSet:
             field_poses = jnp.concatenate(
                 [field_positions, field_orientations], axis=-1
             )  # (N, 7)
+            # the ray kernel recovers the RAY from the pair index by shifting
+            # log2(k * S) — a k-MINOR pair numbering. With k-major dispatch,
+            # hand the kernel the re-derived k-minor index (cheap elementwise
+            # on the small tile buffer); the back-sort key stays k-major.
+            kern_orig = (
+                (buf_orig % p) * k + buf_orig // p if fm_pairs else buf_orig
+            )
             feats = permuto_pallas.encode_fwd_moe_rays(
-                stacked_params["enc.table"], buf_orig, buf_dist, tile_expert,
+                stacked_params["enc.table"], kern_orig, buf_dist, tile_expert,
                 ray_ctx["ray_params"], field_poses, ray_ctx["block_offset"],
                 enc._scales_t, enc._shifts_t, enc._elev_t,
                 enc.level_capacities, log2_ks=ray_ctx["log2_ks"],
@@ -612,28 +651,65 @@ class NeuralFieldSet:
                 ),
                 num_keys=1,
             )
-            c0, c1 = permuto_pallas.unpack_bf16_pair(back[1])
-            c2, c3 = permuto_pallas.unpack_bf16_pair(back[2])
-            pair_outs_fm = jnp.stack([c0, c1, c2, c3], axis=0)[:, :m]
+            if fm_pairs:
+                # k-major keys: rank kk's outputs are the contiguous slice
+                # [kk*p : (kk+1)*p] — unpack per rank, no (dim_out, m) stack
+                per_rank = [
+                    permuto_pallas.unpack_bf16_pair(back[1][kk * p : (kk + 1) * p])
+                    + permuto_pallas.unpack_bf16_pair(back[2][kk * p : (kk + 1) * p])
+                    for kk in range(k)
+                ]  # k x (c0, c1, c2, c3), each (p,)
+            else:
+                c0, c1 = permuto_pallas.unpack_bf16_pair(back[1])
+                c2, c3 = permuto_pallas.unpack_bf16_pair(back[2])
+                pair_outs_fm = jnp.stack([c0, c1, c2, c3], axis=0)[:, :m]
         else:
             back = jax.lax.sort(
                 (bkey.reshape(total),) + tuple(flat_fm[c] for c in range(dim_out)),
                 num_keys=1,
             )
-            pair_outs_fm = jnp.stack(back[1:], axis=0)[:, :m]  # (dim_out, P*k)
-        pair_outs_fm = jnp.where(pair_valid[None, :], pair_outs_fm, 0.0)
+            if fm_pairs:
+                per_rank = [
+                    tuple(back[1 + c][kk * p : (kk + 1) * p] for c in range(dim_out))
+                    for kk in range(k)
+                ]
+            else:
+                pair_outs_fm = jnp.stack(back[1:], axis=0)[:, :m]  # (dim_out, P*k)
 
-        # softmax distance blend (models.py:384, 399); no capacity drops, so
-        # the weights are exactly the reference's over the k neighbors
-        logits = -self.distance_factor * knn_dists
-        logits = jnp.where(
-            jnp.isfinite(knn_dists) & inside[:, None], logits, -jnp.inf
-        )
-        safe_logits = jnp.where(inside[:, None], logits, 0.0)
-        weights = jax.nn.softmax(safe_logits, axis=-1)  # (P, k)
-        blended = jnp.einsum(
-            "cpk,pk->pc", pair_outs_fm.reshape(dim_out, p, k), weights
-        )
+        if fm_pairs:
+            # feature-major softmax blend: weights come straight off the
+            # (k, P) kernel outputs; invalid pairs blend with weight 0 via
+            # SELECT (dead-tile lanes can carry non-finite garbage, so a
+            # multiply alone would poison the sum). Semantics equal to the
+            # (P, k) softmax below: -inf logits for invalid pairs, all-zero
+            # weights outside (overwritten by outside_value anyway).
+            logits = jnp.where(valid_fm, -self.distance_factor * d_fm, -jnp.inf)
+            mx = jnp.max(logits, axis=0)
+            e = jnp.exp(logits - jnp.where(jnp.isfinite(mx), mx, 0.0)[None, :])
+            e = jnp.where(valid_fm, e, 0.0)
+            w = e / jnp.maximum(jnp.sum(e, axis=0), 1e-38)[None, :]  # (k, P)
+            channels = [
+                sum(
+                    jnp.where(valid_fm[kk], per_rank[kk][c] * w[kk], 0.0)
+                    for kk in range(k)
+                )
+                for c in range(dim_out)
+            ]
+            blended = jnp.stack(channels, axis=-1)  # (p, dim_out)
+        else:
+            pair_outs_fm = jnp.where(pair_valid[None, :], pair_outs_fm, 0.0)
+
+            # softmax distance blend (models.py:384, 399); no capacity drops,
+            # so the weights are exactly the reference's over the k neighbors
+            logits = -self.distance_factor * knn_dists
+            logits = jnp.where(
+                jnp.isfinite(knn_dists) & inside[:, None], logits, -jnp.inf
+            )
+            safe_logits = jnp.where(inside[:, None], logits, 0.0)
+            weights = jax.nn.softmax(safe_logits, axis=-1)  # (P, k)
+            blended = jnp.einsum(
+                "cpk,pk->pc", pair_outs_fm.reshape(dim_out, p, k), weights
+            )
         if partial_blend:
             # shard contribution only: zeros outside, no outside_value fill
             # (the caller psums shards and fills outside once)

@@ -244,9 +244,14 @@ def tiled_dispatch_sorted(
     sorted_ids, orig_idx = sorted_all[0], sorted_all[1]
     sorted_payloads = sorted_all[2:]
 
-    seg_start = jnp.searchsorted(
-        sorted_ids, jnp.arange(num_experts + 2, dtype=sorted_ids.dtype)
-    ).astype(jnp.int32)  # (N+2,)
+    # segment starts = #ids below each group id. Phrased as a compare+reduce
+    # over the UNSORTED ids so XLA streams the 8.4M-lane array once with a
+    # (N+2,)-lane accumulator — jnp.searchsorted on the sorted array lowered
+    # to a binary-search while loop that cost 12 ms/block (traced r4)
+    bins = jnp.arange(num_experts + 2, dtype=jnp.int32)
+    seg_start = jnp.sum(
+        (ids[:, None] < bins[None, :]).astype(jnp.int32), axis=0
+    )  # (N+2,)
     counts = seg_start[1:] - seg_start[:-1]  # (N+1,) incl. invalid group
     padded = ((counts + tile - 1) // tile) * tile
     pad_start = jnp.concatenate(

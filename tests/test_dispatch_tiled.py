@@ -211,3 +211,50 @@ class TestPackedOutputs:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=8e-3, rtol=8e-3
         )
+
+
+class TestTopk2Kernel:
+    """Fused Pallas top-2 vs the jnp brute-force path (interpret mode)."""
+
+    def test_matches_topk_fields(self):
+        from neural_graph_mapping_tpu.ops import dispatch, topk_pallas
+
+        rng = np.random.default_rng(3)
+        for n in (5, 128, 300):
+            pts = rng.normal(size=(4000, 3)).astype(np.float32) * 2
+            cen = rng.normal(size=(n, 3)).astype(np.float32) * 2
+            valid = rng.random(n) > 0.25
+            if n > 10:  # duplicate centers: tie-breaking must match argmin
+                cen[7] = cen[3]
+                valid[3] = valid[7] = True
+            d_ref, i_ref = dispatch.topk_fields(
+                jnp.asarray(pts), jnp.asarray(cen), jnp.asarray(valid), 2
+            )
+            d_k, i_k = topk_pallas.topk2_fields(
+                jnp.asarray(pts.T), jnp.asarray(cen), jnp.asarray(valid),
+                interpret=True,
+            )
+            d_ref = np.asarray(d_ref)
+            d_k = np.asarray(d_k).T
+            i_ref = np.asarray(i_ref)
+            i_k = np.asarray(i_k).T
+            # the kernel computes |c|^2 - 2c.p + |p|^2 in a different float
+            # summation order than the jnp path; 1e-4 m is far below any
+            # physical scale in the blend
+            np.testing.assert_allclose(d_ref, d_k, atol=1e-4)
+            mismatch = i_ref != i_k
+            if mismatch.any():
+                # index flips are only legal where the two neighbor distances
+                # are within rounding of each other
+                near_tie = np.abs(d_ref[:, 0] - d_ref[:, 1]) < 1e-4
+                assert near_tie[mismatch.any(axis=1)].all()
+
+    def test_all_invalid(self):
+        from neural_graph_mapping_tpu.ops import topk_pallas
+
+        d, i = topk_pallas.topk2_fields(
+            jnp.zeros((3, 10)), jnp.ones((4, 3)), jnp.zeros(4, bool),
+            interpret=True,
+        )
+        assert np.isinf(np.asarray(d)).all()
+        assert (np.asarray(i) >= 0).all() and (np.asarray(i) < 4).all()
