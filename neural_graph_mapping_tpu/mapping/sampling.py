@@ -83,10 +83,21 @@ def select_target_fields(
     )
     chosen = jnp.zeros_like(allocated_mask).at[obs_ids].set(obs_ok, mode="drop")
     rand_mask = allocated_mask & ~chosen
+    # the reference backfills missing observed slots with EXTRA random fields
+    # so min(num_train_fields, num_fields) always train (run_mapping.py:
+    # 1300-1310: num_missing_fields random draws, not a fixed half). Draw a
+    # full num_train_fields of random candidates; each invalid observed slot
+    # takes the next unused one.
+    rand_ids, rand_ok = masked_choice_without_replacement(
+        k2, rand_mask, num_train_fields
+    )
     k_rand = num_train_fields - k_obs
-    rand_ids, rand_ok = masked_choice_without_replacement(k2, rand_mask, k_rand)
-    field_ids = jnp.concatenate([obs_ids, rand_ids])
-    field_valid = jnp.concatenate([obs_ok, rand_ok])
+    fill_idx = k_rand + jnp.cumsum(~obs_ok) - 1  # rank among invalid slots
+    fill_idx = jnp.clip(fill_idx, 0, num_train_fields - 1)
+    obs_ids = jnp.where(obs_ok, obs_ids, rand_ids[fill_idx])
+    obs_ok = obs_ok | (~obs_ok & rand_ok[fill_idx])
+    field_ids = jnp.concatenate([obs_ids, rand_ids[:k_rand]])
+    field_valid = jnp.concatenate([obs_ok, rand_ok[:k_rand]])
     # invalid slots point at field 0 to keep gathers in range
     field_ids = jnp.where(field_valid, field_ids, 0)
     return field_ids, field_valid

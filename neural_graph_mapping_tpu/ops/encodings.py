@@ -68,7 +68,13 @@ class PermutohedralEncoding:
         concat_points_scaling: float = 1.0,
         init_scale: float = 1e-5,
         shift_seed: int = 0,
+        per_level_capacities: bool = True,
     ) -> None:
+        # per_level_capacities=False hashes EVERY level at the full table
+        # size like the reference CUDA extension — required when importing
+        # reference-trained tables (scripts/refrun/import_reference_ckpt.py),
+        # whose coarse-level entries live at full-range hash indices.
+        self._per_level_capacities = bool(per_level_capacities)
         self.pos_dim = int(pos_dim)
         self.capacity = int(2**log2_hashmap_size)
         self.nr_levels = int(nr_levels)
@@ -104,7 +110,7 @@ class PermutohedralEncoding:
         # Shortens the Pallas gather sweep on those levels; fine levels stay
         # at full capacity. (The reference's CUDA extension hashes every
         # level at full T.)
-        if self.pos_dim == 3:
+        if self.pos_dim == 3 and self._per_level_capacities:
             caps = []
             shifts_np = np.asarray(self._shifts)
             elev_np = np.asarray(self._elev_scale)

@@ -97,16 +97,13 @@ BASE_CONFIG = {
 }
 
 
-def main():
+def build_config(args):
+    """Reference yaml defaults -> BASE cross-check pins -> CLI overrides."""
     from neural_graph_mapping_tpu import config as cfg
 
-    from neural_graph_mapping.run_mapping import NeuralGraphMap
-
     search_paths = ["", "/root/reference/src/neural_graph_mapping/config"]
-    # merge order: reference yaml defaults -> BASE cross-check pins -> CLI
     config = cfg.load_config("neural_graph_map.yaml", search_paths=search_paths)
     config = cfg.load_config(BASE_CONFIG, current_dict=config)
-    args = sys.argv[1:]
     i = 0
     while i < len(args):
         key = args[i]
@@ -125,7 +122,13 @@ def main():
                 config[k] = float(v)
             except ValueError:
                 pass
+    return config
 
+
+def main():
+    from neural_graph_mapping.run_mapping import NeuralGraphMap
+
+    config = build_config(sys.argv[1:])
     torch.manual_seed(0)
     random.seed(0)
     ngm = NeuralGraphMap(config)

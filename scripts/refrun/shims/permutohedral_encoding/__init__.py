@@ -40,6 +40,7 @@ class PermutoEncoding(torch.nn.Module):
         concat_points: bool = False,
         concat_points_scaling: float = 1.0,
         init_scale: float = 1e-5,
+        level_capacities=None,
     ) -> None:
         super().__init__()
         self.pos_dim = int(pos_dim)
@@ -57,6 +58,18 @@ class PermutoEncoding(torch.nn.Module):
             shifts = rng.uniform(0.0, 10.0, size=(self.nr_levels, d)).astype(np.float32)
         else:
             shifts = np.zeros((self.nr_levels, d), dtype=np.float32)
+        # per-level power-of-two hash capacities (cross-eval of checkpoints
+        # trained with neural_graph_mapping_tpu's compacted coarse levels);
+        # None = the fork's behavior, every level hashed at full capacity.
+        # float32 buffer so requires_grad_() in the reference's
+        # _set_vmap_fields doesn't choke on an integer tensor; never receives
+        # gradients (used only through .long()).
+        if level_capacities is None:
+            caps = np.full(self.nr_levels, self.capacity, dtype=np.float32)
+        else:
+            caps = np.asarray(level_capacities, dtype=np.float32)
+            assert caps.shape == (self.nr_levels,)
+        self.register_buffer("_cap_mask", torch.from_numpy(caps - 1.0))
         self.register_buffer("_scales", torch.from_numpy(scales))
         self.register_buffer("_shifts", torch.from_numpy(shifts))
         self.register_buffer(
@@ -74,12 +87,23 @@ class PermutoEncoding(torch.nn.Module):
         return out
 
     def _lattice(self, pts: torch.Tensor):
-        """pts (P, d) -> idx (L, d+1, P) int64, w (L, d+1, P)."""
+        """pts (P, d) -> idx (L, d+1, P) int64, w (L, d+1, P).
+
+        scales/shifts/elev are DETACHED: the CUDA extension this shims only
+        computes gradients for ``lattice_values`` (and optionally the query
+        points), so under the real reference these buffers never train. The
+        reference stacks + optimizes every state-dict tensor
+        (run_mapping.py:676-679), which on a fully-differentiable torch port
+        would silently grant it extra per-field DOF the CUDA build lacks —
+        measured r4: shifts drifted 0.42, coarsest scale 0.34 over a 120-frame
+        run before this detach.
+        """
         d = self.pos_dim
-        scales = self._scales  # (L,)
+        scales = self._scales.detach()  # (L,)
+        shifts = self._shifts.detach()
+        elev = self._elev_scale.detach()
         cfs = [
-            (pts[None, :, i] / scales[:, None] + self._shifts[:, i, None])
-            * self._elev_scale[i]
+            (pts[None, :, i] / scales[:, None] + shifts[:, i, None]) * elev[i]
             for i in range(d)
         ]  # each (L, P)
 
@@ -126,7 +150,7 @@ class PermutoEncoding(torch.nn.Module):
         bary[0] = bary[0] + 1.0 + bary[d + 1]
         w = torch.stack(bary[: d + 1], dim=1)  # (L, d+1, P)
 
-        cap_mask = self.capacity - 1
+        cap_mask = self._cap_mask.detach().long()[:, None]  # (L, 1)
         idx_corners = []
         for k in range(d + 1):
             h = torch.zeros_like(rank[0], dtype=torch.int64)
