@@ -1174,7 +1174,7 @@ class NeuralGraphMap:
 
         def model(ijs, offset=0):
             if tiled:
-                return render_block_tiled_jit(
+                rgbd, dv, _tp = render_block_tiled_jit(
                     self._fset,
                     camera,
                     self._rcfg,
@@ -1195,7 +1195,8 @@ class NeuralGraphMap:
                     # bell's transmittance is spacing-dependent
                     sample_spacing=float(self._sample_spacing),
                 )
-            rgbd, dv, dropped = self._render_ij_block(
+                return rgbd, dv
+            rgbd, dv, _tp, dropped = self._render_ij_block(
                 ijs, c2w, camera, capacity_per_field
             )
             drop_counts.append(dropped)
@@ -1267,6 +1268,31 @@ def render_demand_probe(
     return jnp.max(counts[:n_cap])
 
 
+def span_sample_distances(
+    t0: jnp.ndarray,  # (B,) per-ray span start
+    t1: jnp.ndarray,  # (B,) per-ray span end
+    u: jnp.ndarray,  # (B, S) stratification jitter in [0, 1)
+    sample_spacing: float,
+) -> jnp.ndarray:
+    """Stratified sample distances for the span-restricted render path.
+
+    With ``sample_spacing > 0``: samples step from t0 at the
+    reference-calibrated spacing (run_mapping.py:199-207), stretched to
+    span/S ONLY when the span outruns the static sample budget — so the
+    trained occupancy bell is always evaluated at (or coarser than, never
+    finer than) its training discretization. With 0: legacy dense-span
+    stratification of [t0, t1].
+    """
+    num_samples = u.shape[-1]
+    if sample_spacing > 0.0:
+        per_ray = jnp.maximum(sample_spacing, (t1 - t0) / num_samples)  # (B,)
+        return t0[:, None] + (
+            jnp.arange(num_samples, dtype=jnp.float32)[None, :] + u
+        ) * per_ray[:, None]  # (B, S)
+    edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
+    return t0[:, None] + (t1 - t0)[:, None] * (edges + u / num_samples)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1335,18 +1361,7 @@ def render_block_tiled_jit(
     t1 = jnp.where(any_hit, jnp.maximum(t1, t0), far)
 
     u = jax.random.uniform(key, (b, num_samples))
-    if sample_spacing > 0.0:
-        # reference-calibrated spacing, stretched only when the span
-        # outruns the static sample budget
-        per_ray = jnp.maximum(sample_spacing, (t1 - t0) / num_samples)  # (B,)
-        distances = t0[:, None] + (
-            jnp.arange(num_samples, dtype=jnp.float32)[None, :] + u
-        ) * per_ray[:, None]  # (B, S)
-    else:
-        edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
-        distances = t0[:, None] + (t1 - t0)[:, None] * (
-            edges + u / num_samples
-        )  # (B, S)
+    distances = span_sample_distances(t0, t1, u, sample_spacing)
 
     points_world = (
         origin[None, None, :] + dirs_w[:, None, :] * distances[..., None]
@@ -1409,7 +1424,7 @@ def render_block_tiled_jit(
         neus_isds=neus_isds,
     )
     rgbd = jnp.concatenate([q.colors, q.depths[..., None]], axis=-1)
-    return rgbd, q.depth_vars
+    return rgbd, q.depth_vars, q.term_probs
 
 
 @functools.partial(
@@ -1433,7 +1448,17 @@ def render_block_jit(
     key,
 ):
     """Full-image render block: uniform eval sampling + KNN field blend
-    (run_mapping.py:440-666 with use_vmap=False -> models.py:347-405)."""
+    (run_mapping.py:440-666 with use_vmap=False -> models.py:347-405).
+
+    Spacing note (ADVICE r4): this kill-switch path samples the full
+    [near, far] range with ``num_samples = eval_num_samples``, so its spacing
+    is (far-near)/eval_num_samples — identical to the calibrated
+    ``sample_spacing`` when eval_num_samples takes its derived default
+    (run_mapping.py:199-207), exactly like the reference's own eval. It
+    diverges from the tiled path's spacing floor only when the user overrides
+    ``eval_num_samples`` below the derived count; the tiled path would then
+    still render at the trained spacing while this one renders coarser.
+    """
     b = ijs.shape[0]
     dirs = camera.ijs_to_directions(ijs)
     edges = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
@@ -1476,4 +1501,4 @@ def render_block_jit(
         neus_isds=neus_isds,
     )
     rgbd = jnp.concatenate([q.colors, q.depths[..., None]], axis=-1)
-    return rgbd, q.depth_vars, dropped
+    return rgbd, q.depth_vars, q.term_probs, dropped

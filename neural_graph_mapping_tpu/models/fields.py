@@ -202,6 +202,27 @@ class NeuralField:
                     outs = rz * outs + prev_outs
         return outs
 
+    def geometry_gradients(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
+        """Spatial gradient of the geometry channel w.r.t. local points.
+
+        TPU-native counterpart of the reference's autograd replay
+        (losses.py:78-96: ``torch.autograd.grad(signed_distances, points)``
+        for the eikonal term). Differentiates the geometry head (output
+        channel ``dim_out - 1``) through the standard ``apply`` path — the
+        pure-jnp encoding, NOT the Pallas kernels, which deliberately do not
+        propagate point gradients (ops/permuto.py:325) — with one
+        ``jax.grad`` vmapped over points. Feed the result to
+        ``ops.losses.eikonal_term``. Shape: points (..., pos_dim) ->
+        gradients (..., pos_dim).
+        """
+
+        def geom(p: jnp.ndarray) -> jnp.ndarray:
+            return self.apply(params, p[None])[0, -1]
+
+        flat = points.reshape(-1, points.shape[-1])
+        grads = jax.vmap(jax.grad(geom))(flat)
+        return grads.reshape(points.shape)
+
     def apply(self, params: Params, points: jnp.ndarray) -> jnp.ndarray:
         """Evaluate the field at local-frame points (..., pos_dim) -> (..., dim_out)."""
         enc_params = {

@@ -70,9 +70,13 @@ def _topk2_kernel(pts_ref, cen_ref, csq_ref, outd_ref, outi_ref, *, n_chunks):
         cen = cen_ref[c]  # (N_LANE, 3)
         # scores = |c|^2 - 2 c.p  (the per-point |p|^2 is rank-invariant);
         # invalid/padded fields carry |c|^2 = +BIG via csq
+        # HIGHEST: default MXU precision truncates f32 operands to bf16, and
+        # the |c|^2 - 2c.p + |p|^2 reconstruction cancels catastrophically at
+        # small distances (ADVICE r4); the (N,3)x(3,P) matmul is tiny.
         cross = jax.lax.dot_general(
             cen, pts, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (N_LANE, TILE_P)
         scores = csq_ref[c][:, None] - 2.0 * cross
         cand = _top2_chunk(scores, c * N_LANE)

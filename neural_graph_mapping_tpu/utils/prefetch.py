@@ -37,6 +37,7 @@ class FramePrefetcher:
         self._ids: Sequence[int] = list(frame_ids)
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
         self._pos = 0
+        self._stop = threading.Event()
         self._thread = threading.Thread(
             target=self._work, name="ngm-frame-prefetch", daemon=True
         )
@@ -45,6 +46,11 @@ class FramePrefetcher:
     def _work(self) -> None:
         try:
             for fid in self._ids:
+                # checked before each decode so close() on an early abort
+                # stops the worker after at most one in-flight item instead
+                # of decoding the rest of the sequence (ADVICE r4)
+                if self._stop.is_set():
+                    break
                 self._queue.put((fid, self._dataset[fid], None))
         except BaseException as exc:  # noqa: BLE001 — re-raised in get()
             self._queue.put((None, None, exc))
@@ -67,6 +73,7 @@ class FramePrefetcher:
 
     def close(self) -> None:
         """Drain so the daemon thread exits promptly (tests, early abort)."""
+        self._stop.set()
         while self._thread.is_alive() or not self._queue.empty():
             try:
                 if self._queue.get(timeout=0.5) is self._SENTINEL:

@@ -158,3 +158,59 @@ class TestLosses:
         grads = jnp.asarray([[1.0, 0.0, 0.0], [2.0, 0.0, 0.0]])
         got = losses.eikonal_term(grads)
         np.testing.assert_allclose(float(got), 0.5, atol=1e-6)
+
+    def test_eikonal_through_field_point_gradients(self):
+        """geometry_gradients (the reference's autograd.grad replay,
+        losses.py:78-96) differentiates the real field; FD cross-check on the
+        smooth Fourier encoding, finite+nonzero on the permutohedral path."""
+        import jax
+
+        from neural_graph_mapping_tpu.models.fields import NeuralField
+
+        field = NeuralField(
+            encoding_type="neural_graph_mapping_tpu.ops.encodings.PositionalEncodingNeRF",
+            encoding_kwargs=dict(dim_in=3, num_octaves=4),
+            num_layers=1,
+            dim_out=4,
+        )
+        params = field.init(jax.random.PRNGKey(3))
+        pts = jax.random.uniform(jax.random.PRNGKey(4), (5, 3), minval=-0.4, maxval=0.4)
+        grads = field.geometry_gradients(params, pts)
+        assert grads.shape == (5, 3)
+        def hidden_signs(p):
+            enc_params = {
+                k.split(".", 1)[1]: v for k, v in params.items() if k.startswith("enc.")
+            }
+            h = field.encoding.apply(enc_params, p) @ params["w0"] + params["b0"]
+            return np.sign(np.asarray(h))
+
+        eps = 1e-3
+        for axis in range(3):
+            step = jnp.zeros((1, 3)).at[0, axis].set(eps)
+            fd = (
+                field.apply(params, pts + step)[:, -1]
+                - field.apply(params, pts - step)[:, -1]
+            ) / (2 * eps)
+            # central differences are only valid where no relu kink lies
+            # inside the stencil; compare on those points only
+            smooth = np.all(
+                hidden_signs(pts + step) == hidden_signs(pts - step), axis=-1
+            )
+            assert smooth.sum() >= 3, "stencil crossed relu kinks on most points"
+            np.testing.assert_allclose(
+                np.asarray(grads[:, axis])[smooth],
+                np.asarray(fd)[smooth],
+                rtol=2e-2,
+                atol=5e-3,
+            )
+        loss = losses.eikonal_term(grads)
+        assert np.isfinite(float(loss))
+
+        # permutohedral (piecewise-linear): gradients exist a.e. and are nonzero
+        from tests.test_fields import FIELD_KWARGS
+
+        pfield = NeuralField(**FIELD_KWARGS)
+        pparams = pfield.init(jax.random.PRNGKey(5))
+        pgrads = pfield.geometry_gradients(pparams, pts)
+        assert np.all(np.isfinite(np.asarray(pgrads)))
+        assert float(jnp.abs(pgrads).max()) > 0.0

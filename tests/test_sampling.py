@@ -44,6 +44,50 @@ class TestSelectTargetFields:
         # first half drawn from observed fields
         assert (ids_np[:4] < 10).all()
 
+    def test_backfill_invalid_observed_slots_with_extra_random(self):
+        """Reference run_mapping.py:1300-1310: when fewer than F/2 fields are
+        observed, the missing observed slots are backfilled with EXTRA random
+        fields so all min(F, num_fields) slots train — not just F/2 + valid
+        observed."""
+        allocated = jnp.arange(64) < 40
+        observed = jnp.zeros(64, bool).at[jnp.asarray([5])].set(True)  # 1 < F/2
+        for seed in range(8):
+            ids, valid = sampling.select_target_fields(
+                jax.random.PRNGKey(seed), observed, allocated, 8
+            )
+            assert bool(valid.all()), f"seed {seed}: backfill left invalid slots"
+            ids_np = np.asarray(ids)
+            assert len(set(ids_np.tolist())) == 8, f"seed {seed}: duplicates"
+            assert (ids_np < 40).all()
+            assert 5 in ids_np[:4].tolist()  # the one observed field trains
+
+    def test_backfill_zero_observed(self):
+        """Zero observed fields -> all slots filled with distinct random
+        allocated fields (num_random = min(F, num_fields))."""
+        allocated = jnp.arange(32) < 20
+        observed = jnp.zeros(32, bool)
+        ids, valid = sampling.select_target_fields(
+            jax.random.PRNGKey(7), observed, allocated, 8
+        )
+        assert bool(valid.all())
+        ids_np = np.asarray(ids)
+        assert len(set(ids_np.tolist())) == 8
+        assert (ids_np < 20).all()
+
+    def test_backfill_bounded_by_num_fields(self):
+        """With observed ∪ random exhausted (num_fields < F), exactly
+        num_fields distinct slots are valid (reference: num_random =
+        min(num_missing, num_fields - num_observed))."""
+        allocated = jnp.arange(16) < 6
+        observed = jnp.zeros(16, bool).at[jnp.asarray([0, 1])].set(True)
+        ids, valid = sampling.select_target_fields(
+            jax.random.PRNGKey(9), observed, allocated, 8
+        )
+        assert int(valid.sum()) == 6
+        chosen = np.asarray(ids)[np.asarray(valid)]
+        assert len(set(chosen.tolist())) == 6
+        assert (chosen < 6).all()
+
     def test_fewer_fields_than_requested(self):
         allocated = jnp.arange(16) < 3
         observed = jnp.zeros(16, bool)

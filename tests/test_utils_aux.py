@@ -169,3 +169,34 @@ class TestFramePrefetcher:
         with pytest.raises(ValueError, match="decode failed"):
             pf.get(0)
         pf.close()
+
+    def test_close_stops_early_without_decoding_rest(self):
+        """close() on an early abort must not decode the remaining sequence
+        (ADVICE r4: stop flag checked before each decode)."""
+        import threading
+        import time
+
+        from neural_graph_mapping_tpu.utils.prefetch import FramePrefetcher
+
+        gate = threading.Event()
+
+        class SlowDS:
+            def __init__(self):
+                self.decodes = []
+
+            def __getitem__(self, fid):
+                if fid > 0:
+                    gate.wait(timeout=10.0)
+                self.decodes.append(fid)
+                return {"fid": fid}
+
+        ds = SlowDS()
+        pf = FramePrefetcher(ds, list(range(50)), depth=1)
+        assert pf.get(0)["fid"] == 0
+        t0 = time.monotonic()
+        pf._stop.set()
+        gate.set()  # release the in-flight decode only after stop is visible
+        pf.close()
+        assert time.monotonic() - t0 < 5.0
+        # at most the in-flight items got decoded, not all 50
+        assert len(ds.decodes) <= 4
