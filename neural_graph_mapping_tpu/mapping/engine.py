@@ -1196,6 +1196,12 @@ class NeuralGraphMap:
                     sample_spacing=float(self._sample_spacing),
                 )
                 return rgbd, dv
+            # kill-switch fallback: uniform [near, far] sweep at
+            # _eval_num_samples. At defaults that count is DERIVED as
+            # range / _sample_spacing (engine._read_config), so this path
+            # also renders at the calibrated train-time spacing; it only
+            # diverges from the tiled path when eval_num_samples is
+            # overridden to a non-derived value (ADVICE r4).
             rgbd, dv, _tp, dropped = self._render_ij_block(
                 ijs, c2w, camera, capacity_per_field
             )

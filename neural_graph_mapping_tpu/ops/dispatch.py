@@ -247,7 +247,10 @@ def tiled_dispatch_sorted(
     # segment starts = #ids below each group id. Phrased as a compare+reduce
     # over the UNSORTED ids so XLA streams the 8.4M-lane array once with a
     # (N+2,)-lane accumulator — jnp.searchsorted on the sorted array lowered
-    # to a binary-search while loop that cost 12 ms/block (traced r4)
+    # to a binary-search while loop that cost 12 ms/block (traced r4).
+    # Correct only while XLA fuses the broadcast+reduce (it does on TPU); if
+    # a backend ever materializes the (M, N+2) compare matrix, switch to
+    # jnp.bincount(ids, length=num_experts+1) + cumsum (O(M), fusion-free)
     bins = jnp.arange(num_experts + 2, dtype=jnp.int32)
     seg_start = jnp.sum(
         (ids[:, None] < bins[None, :]).astype(jnp.int32), axis=0

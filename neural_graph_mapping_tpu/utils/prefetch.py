@@ -32,12 +32,19 @@ class FramePrefetcher:
 
     _SENTINEL = object()
 
-    def __init__(self, dataset, frame_ids: Iterable[int], depth: int = 2):
+    def __init__(
+        self,
+        dataset,
+        frame_ids: Iterable[int],
+        depth: int = 2,
+        to_device: bool = False,
+    ):
         self._dataset = dataset
         self._ids: Sequence[int] = list(frame_ids)
         self._queue: queue.Queue = queue.Queue(maxsize=max(1, int(depth)))
         self._pos = 0
         self._stop = threading.Event()
+        self._to_device = bool(to_device)
         self._thread = threading.Thread(
             target=self._work, name="ngm-frame-prefetch", daemon=True
         )
@@ -51,7 +58,30 @@ class FramePrefetcher:
                 # of decoding the rest of the sequence (ADVICE r4)
                 if self._stop.is_set():
                     break
-                self._queue.put((fid, self._dataset[fid], None))
+                item = self._dataset[fid]
+                if self._to_device:
+                    # start the H2D transfer from the worker so it overlaps
+                    # the device step of the PREVIOUS frame — measured r5: a
+                    # 640x480 RGBD frame costs ~0.4 s of wall time per frame
+                    # through this TPU's loopback relay when uploaded
+                    # synchronously in the training loop (the largest single
+                    # wall-clock term, above the 5-iteration device step).
+                    # RGB ships as uint8 (exact: sensor sources are 8-bit
+                    # PNGs, rgb == u8/255) + depth f32 — 1.5 MB instead of
+                    # the 4.9 MB f32 RGBD; the consumer reassembles on device
+                    import jax
+                    import numpy as np
+
+                    rgbd = np.asarray(item["rgbd"], dtype=np.float32)
+                    rgb_u8 = np.clip(
+                        np.rint(rgbd[..., :3] * 255.0), 0.0, 255.0
+                    ).astype(np.uint8)
+                    item = dict(item)
+                    item["rgbd_dev"] = (
+                        jax.device_put(rgb_u8),
+                        jax.device_put(np.ascontiguousarray(rgbd[..., 3])),
+                    )
+                self._queue.put((fid, item, None))
         except BaseException as exc:  # noqa: BLE001 — re-raised in get()
             self._queue.put((None, None, exc))
         finally:

@@ -8,6 +8,8 @@ The reference wraps this module's `log` with a function that calls
 recurses infinitely, so the module ignores rebinds of `log`.
 """
 
+import json
+import os
 import sys
 import types
 
@@ -35,6 +37,18 @@ def init(*args, **kwargs):
 
 
 def log(*args, **kwargs):
+    # optional scalar capture for training-dynamics cross-checks: set
+    # NGM_SHIM_WANDB_LOG=/path/file.jsonl to append every scalar dict the
+    # reference logs (losses every log_iteration_freq iters)
+    path = os.environ.get("NGM_SHIM_WANDB_LOG")
+    if path and args and isinstance(args[0], dict):
+        row = {
+            k: float(v)
+            for k, v in args[0].items()
+            if isinstance(v, (int, float)) or hasattr(v, "item")
+        }
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
     return None
 
 
