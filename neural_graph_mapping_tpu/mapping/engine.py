@@ -199,7 +199,8 @@ def optimization_iterations_scan(
 
     keys = jax.random.split(key, num_iters)
     (params, adam, ti), loss_dicts = jax.lax.scan(
-        body, (params, adam, training_iterations), keys
+        body, (params, adam, training_iterations), keys,
+        unroll=int(os.environ.get("NGM_SCAN_UNROLL", "1")),
     )
     last_losses = jax.tree_util.tree_map(lambda x: x[-1], loss_dicts)
     return params, adam, ti, last_losses

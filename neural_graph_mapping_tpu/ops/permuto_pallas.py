@@ -239,7 +239,6 @@ def _encode_bwd_kernel(
     n_levels = len(scales)
     t_sizes = (t_size,) * n_levels if isinstance(t_size, int) else t_size
     n_hi = max(t_sizes) // N_LO
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi, TILE_M), 0)
     lo_iota = jax.lax.broadcasted_iota(jnp.int32, (N_LO, TILE_M), 0)
 
     @pl.when(pl.program_id(1) == 0)
@@ -253,21 +252,25 @@ def _encode_bwd_kernel(
     for l in range(n_levels):
         # per-level hash mask (must mirror the fwd kernel); dense coarse
         # levels also shrink the one-hot HEIGHT to their capacity (indices
-        # land in the low t_sizes[l] entries), cutting the VPU compare/select
-        # rows that dominate this kernel
+        # land in the low t_sizes[l] entries) — the MXU matmul then contracts
+        # only t_sizes[l]/N_LO rows instead of max/N_LO (r5: the earlier
+        # Mosaic "limits[i] <= dim(i)" crash was the PARTIAL out_ref write,
+        # not the short matmul; padding the accumulator rows before the
+        # full-height write dodges it)
         mask = jnp.uint32(t_sizes[l] - 1)
+        n_hi_l = max(t_sizes[l] // N_LO, 1)
+        hi_iota = jax.lax.broadcasted_iota(jnp.int32, (n_hi_l, TILE_M), 0)
         g0 = g_ref[0, 2 * l, :].reshape(1, TILE_M)
         g1 = g_ref[0, 2 * l + 1, :].reshape(1, TILE_M)
-        # both features share one (n_hi, M) x (M, 2*N_LO) contraction: a
-        # 64-row x 128-col MXU output instead of two 64x64 ones (2x the
-        # systolic-array utilization of per-feature matmuls).
+        # both features share one (n_hi_l, 4*M) x (4*M, 2*N_LO) contraction:
+        # the 4 simplex taps are CONCATENATED along the contraction axis
+        # (r5), so the level issues ONE deep matmul instead of 4 shallow
+        # ones — identical MACs, 4x fewer MXU pipeline fills on a half-tile
+        # (64-row) output.
         # Negative results (r3, measured on v5e — do not re-try blindly):
         # - folding w*g into the hi one-hot via two selects + two 64-wide
         #   matmuls (dropping the concat): 1.93M vs 2.41M rays/s
-        # - per-level reduced one-hot heights (n_hi_l = t_sizes[l]/N_LO):
-        #   Mosaic crashes on the partial-height out_ref write
-        #   ("Check failed: limits[i] <= dim(i)")
-        acc = jnp.zeros((n_hi, 2 * N_LO), jnp.float32)
+        acc = jnp.zeros((n_hi_l, 2 * N_LO), jnp.float32)
         for h_bits, w in levels[l]:
             idx = (h_bits & mask).astype(jnp.int32)
             hi_oh = (hi_iota == (idx >> BITS_LO)).astype(mxu_dtype)
@@ -278,6 +281,10 @@ def _encode_bwd_kernel(
             acc = acc + jax.lax.dot_general(
                 hi_oh, rhs.astype(mxu_dtype), (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+            )
+        if n_hi_l < n_hi:
+            acc = jnp.concatenate(
+                [acc, jnp.zeros((n_hi - n_hi_l, 2 * N_LO), jnp.float32)], axis=0
             )
         out_ref[0, 0, l, :, :] = out_ref[0, 0, l, :, :] + acc[:, :N_LO]
         out_ref[0, 1, l, :, :] = out_ref[0, 1, l, :, :] + acc[:, N_LO:]
@@ -821,7 +828,8 @@ def encode_bwd_table(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2, n_levels, n_hi, N_LO), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n_levels * 4 * 2 * m * t_max,
+            flops=2 * b * 4 * 2 * m
+            * (sum(t_size) if isinstance(t_size, tuple) else n_levels * t_max),
             bytes_accessed=b * (m * 12 + 2 * n_levels * m * 4 + n_levels * t_max * 8),
             transcendentals=0,
         ),
